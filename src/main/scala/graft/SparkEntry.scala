@@ -264,6 +264,90 @@ object SparkEntry {
         .select("qid", "nid", "sim", "rk")
     }),
 
+    // ---------- graph: connected components + degree ----------
+    "q32_connected_components" -> ((s, d) => {
+      val edges = s.read.parquet(t(d, "lineitem"))
+        .filter(col("l_orderkey") < 300)
+        .select(
+          concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.canon.Canonicalize.connectedComponents(edges)
+    }),
+    "q33_degree_topk" -> ((s, d) => {
+      val edges = s.read.parquet(t(d, "lineitem"))
+        .filter(col("l_orderkey") < 300)
+        .select(
+          concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("node"))
+        .limit(30)
+    }),
+
+    // ---------- typed literals (F6) ----------
+    "q34_typed_literals" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .select(
+          col("doc_id"),
+          col("n_chars").cast("string").as("v"),
+          graft.rdf.Literals.xsdTypeOf(col("n_chars").cast("string")).as("xsd_type"))
+    }),
+
+    // ---------- per-group stats (A6 analogue) ----------
+    "q35_source_metrics" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg("n_chars"), 3).as("avg_chars"),
+          round(stddev_samp("n_chars"), 3).as("sd_chars"),
+          sum(when(col("n_chars") >= 400, 1).otherwise(0)).as("bucket_high"),
+          sum(when(col("n_chars") >= 200 && col("n_chars") < 400, 1).otherwise(0)).as("bucket_mid"),
+          sum(when(col("n_chars") < 200, 1).otherwise(0)).as("bucket_low"))
+    }),
+
+    // ---------- skew: salted two-phase aggregation ----------
+    "q36_salted_count" -> ((s, d) => {
+      graft.canon.Skew.saltedCount(
+        s.read.parquet(t(d, "lineitem")), "l_partkey", salts = 16)
+    }),
+
+    // ---------- exports + canonicalization over the KG (rows-only) ----------
+    "q37_edges_export" -> ((s, _) => {
+      import s.implicits._
+      graft.io.Exports.edgesCsv(Pipeline.triples(SynthCorpus.pages(s, 200)))
+    }),
+    "q38_predicate_histogram" -> ((s, _) => {
+      import s.implicits._
+      graft.io.Exports.predicateHistogram(Pipeline.triples(SynthCorpus.pages(s, 200)))
+    }),
+    "q39_canonicalized" -> ((s, _) => {
+      import s.implicits._
+      val pages = SynthCorpus.pages(s, 200)
+      val triples = Pipeline.triples(pages)
+      val mentionUri = pages.flatMap { p =>
+        graft.link.EntityLink.link(p.url, p.text, graft.link.AliasDict.default)
+      }.toDF().select("mention", "uri")
+      graft.canon.Canonicalize.canonicalize(triples, mentionUri).toDF()
+    }),
+    "q40_rag_json" -> ((s, _) => {
+      import s.implicits._
+      graft.io.Exports.ragJson(Pipeline.triples(SynthCorpus.pages(s, 200)))
+    }),
+
+    // ---------- multimodal binary columns (decode stubbed) ----------
+    "q41_multimodal" -> ((s, d) => {
+      import s.implicits._
+      val media = s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      graft.multimodal.BinaryFeatures.extract(media).toDF()
+    }),
+
     // ---------- streaming (§2.10) ----------
     "q31_stream_window" -> ((s, d) => {
       val schema = s.read.parquet(t(d, "events")).schema
@@ -390,5 +474,52 @@ object SparkEntry {
     "q31_stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | round(sum(value), 3) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q32_connected_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem WHERE l_orderkey < 300),
+        |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(node, m) AS (
+        |  SELECT src, src FROM bidir
+        |  UNION
+        |  SELECT b.dst, r.m FROM reach r JOIN bidir b ON b.src = r.node)
+        |SELECT node, min(m) AS component FROM reach GROUP BY node""".stripMargin,
+    "q33_degree_topk" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem WHERE l_orderkey < 300)
+        |SELECT node, count(*) AS degree FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |GROUP BY node ORDER BY degree DESC, node LIMIT 30""".stripMargin,
+    "q34_typed_literals" ->
+      """SELECT doc_id, CAST(n_chars AS VARCHAR) AS v,
+        | CASE WHEN regexp_full_match(CAST(n_chars AS VARCHAR), '\d{4}') THEN 'gYear'
+        |      WHEN regexp_full_match(CAST(n_chars AS VARCHAR), '\d{4}-\d{2}-\d{2}') THEN 'date'
+        |      WHEN regexp_full_match(CAST(n_chars AS VARCHAR), '\d+') THEN 'integer'
+        |      WHEN regexp_full_match(CAST(n_chars AS VARCHAR), '\d+\.\d+') THEN 'decimal'
+        |      WHEN lower(CAST(n_chars AS VARCHAR)) IN ('true','false') THEN 'boolean'
+        |      ELSE 'string' END AS xsd_type
+        |FROM documents""".stripMargin,
+    "q35_source_metrics" ->
+      """SELECT source, count(*) AS n,
+        | round(avg(n_chars), 3) AS avg_chars,
+        | round(stddev_samp(n_chars), 3) AS sd_chars,
+        | CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_high,
+        | CAST(sum(CASE WHEN n_chars >= 200 AND n_chars < 400 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_mid,
+        | CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_low
+        |FROM documents GROUP BY source""".stripMargin,
+    "q36_salted_count" ->
+      "SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey",
+    // ASCII corpus ⇒ bytes == codepoints, so the blob mean is expressible
+    "q41_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        | CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        | CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames,
+        | floor(CAST(list_sum(list_transform(split(text, ''), c -> unicode(c))) AS DOUBLE)
+        |   / octet_length(encode(text)) * 1000 + 0.5) / 1000 AS mean_byte
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.canon.{Canonicalize, Skew}
+import graft.dedup.{MinHashLsh, SimHash}
+import graft.extract.{Chunker, Segmenter}
+import graft.io.Exports
+import graft.model.Triple
+import graft.rdf.Literals
+import graft.text.{Fingerprint, LangId}
+
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("connected components merges linked clusters") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), // component a
+      ("x", "y"), // component x
+      ("p", "q"), ("q", "r"), ("r", "s")) // component p
+      .toDF("src", "dst")
+    val cc = Canonicalize.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(cc("c") == "a" && cc("b") == "a" && cc("a") == "a")
+    assert(cc("y") == "x")
+    assert(Set("p", "q", "r", "s").map(cc) == Set("p"))
+  }
+
+  test("canonicalize rewrites aliased URIs to one representative") {
+    import spark.implicits._
+    val triples = Seq(
+      Triple("d1", "http://x/A", true, "F", "R", "has_theme", "http://x/B", true),
+      Triple("d1", "http://x/A2", true, "F", "R", "has_theme", "lit", false))
+      .toDS()
+    val mentionUri = Seq(("alpha", "http://x/A"), ("alpha", "http://x/A2"))
+      .toDF("mention", "uri")
+    val out = Canonicalize.canonicalize(triples, mentionUri).collect()
+    assert(out.forall(t => t.subj == "http://x/A")) // A2 rewritten to min(A,A2)
+    assert(out.length == 2)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    val df = Seq.tabulate(1000)(i => (i % 7, i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k").count().as[(Int, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, "k").as[(Int, Long)].collect().toMap
+    assert(salted == direct)
+  }
+
+  test("exports produce the reference shapes") {
+    import spark.implicits._
+    val ts = Seq(
+      Triple("d", "http://en.wikipedia.org/wiki/X", true, "Being_born", "Child", "has_person", "Y Z", false),
+      Triple("d", "literal subj", false, "Death", "Time", "has_time", "1956", false)).toDS()
+    val ttl = Exports.customTtl(ts).as[String].collect().toSet
+    assert(ttl("http://en.wikipedia.org/wiki/X Being_born:has_person Y Z"))
+    assert(ttl("literal subj Death:has_time 1956"))
+    val qttl = Exports.queryableTtl(ts).as[String].collect().toSet
+    assert(qttl("""<http://en.wikipedia.org/wiki/X> <Being_born:has_person> "Y Z" ."""))
+    val edges = Exports.edgesCsv(ts).collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(edges == Set(("has person", "Being_born"), ("has time", "Death")))
+    val hist = Exports.predicateHistogram(ts).as[(String, Long)].collect().toMap
+    assert(hist("Being_born:has_person") == 1L)
+    assert(Exports.entityIndex(ts).count() == 4)
+  }
+
+  test("typed literal dispatch preserves the gYear-before-integer order") {
+    assert(Literals.xsdTypeOf("1956") == "gYear")
+    assert(Literals.xsdTypeOf("195") == "integer")
+    assert(Literals.xsdTypeOf("19561") == "integer")
+    assert(Literals.xsdTypeOf("1956-01-02") == "date")
+    assert(Literals.xsdTypeOf("3.14") == "decimal")
+    assert(Literals.xsdTypeOf("True") == "boolean")
+    assert(Literals.xsdTypeOf("hello 42") == "string")
+  }
+
+  test("minhash-lsh buckets exact duplicates and near-duplicates together") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearA = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val other = "completely different words appear in this unrelated sentence about spark"
+    val ba = MinHashLsh.bandRows(1, a).map(r => (r.band, r.band_hash)).toSet
+    val bn = MinHashLsh.bandRows(2, nearA).map(r => (r.band, r.band_hash)).toSet
+    val bo = MinHashLsh.bandRows(3, other).map(r => (r.band, r.band_hash)).toSet
+    assert((ba & bn).nonEmpty, "near-dups share at least one band")
+    assert((ba & bo).isEmpty, "unrelated docs share no band")
+    assert(MinHashLsh.jaccard(a, a) == 1.0)
+    assert(MinHashLsh.jaccard(a, nearA) > 0.5)
+  }
+
+  test("simhash hamming distance separates near from far") {
+    val a = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta theta")
+    val b = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta iota")
+    val c = SimHash.simhash64("totally different content with other words entirely here")
+    assert(SimHash.hamming(a, b) < SimHash.hamming(a, c))
+  }
+
+  test("language id picks the right profile") {
+    assert(LangId.detect("the cat sat on the mat and it was happy")._1 == "en")
+    assert(LangId.detect("le chat est sur la table et il est content")._1 == "fr")
+    assert(LangId.detect("der Hund ist in dem Haus und er ist froh")._1 == "de")
+    assert(LangId.detect("")._1 == "und")
+  }
+
+  test("fingerprints are whitespace-insensitive and content-sensitive") {
+    assert(Fingerprint.rolling64("a  b\tc") == Fingerprint.rolling64("a b c"))
+    assert(Fingerprint.rolling64("a b c") != Fingerprint.rolling64("a b d"))
+  }
+
+  test("chunker packs sentences like the reference") {
+    val text = ("Sentence one is here. " * 40).trim
+    val chunks = Chunker.split(text, maxChars = 100)
+    assert(chunks.forall(_.length <= 105))
+    assert(chunks.forall(!_.isEmpty))
+    val offsets = Chunker.withOffsets(text, 100)
+    assert(offsets.sliding(2).forall {
+      case Vector((c, o1), (_, o2)) => o2 == o1 + c.length + 2
+      case _ => true
+    })
+  }
+
+  test("segmenter keeps abbreviations and initials inside sentences") {
+    val s = Segmenter.sentences(
+      "Dr. Smith met F. Scott Fitzgerald in St. Paul. They talked. It was 1920.")
+    assert(s.length == 3, s.mkString("|"))
+    assert(s.head == "Dr. Smith met F. Scott Fitzgerald in St. Paul.")
+  }
+}
