@@ -348,6 +348,13 @@ object SparkEntry {
       graft.multimodal.BinaryFeatures.extract(media).toDF()
     }),
 
+    "q42_ann_lsh" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      graft.similarity.Ann.lshTopK(vecs, k = 5, tables = 8, bits = 8)
+    }),
+
     // ---------- streaming (§2.10) ----------
     "q31_stream_window" -> ((s, d) => {
       val schema = s.read.parquet(t(d, "events")).schema

@@ -1,0 +1,102 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbors over an embedding column.
+  *
+  * Scale path: random-hyperplane LSH — each vector gets `tables` signatures
+  * of `bits` sign-bits; candidates are pairs sharing any (table, signature)
+  * bucket; exact cosine reranks within buckets. The shuffle is on bucket
+  * keys (tables × |docs| rows), never the |docs|² cross join the
+  * brute-force baseline needs. Deterministic hyperplanes via splitmix64.
+  */
+object Ann {
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-gaussian hyperplane component (sum of 4 uniform). */
+  private def gauss(table: Int, bit: Int, dim: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < 4) {
+      val h = mix64(table.toLong << 40 ^ bit.toLong << 20 ^ dim.toLong ^ (i.toLong << 56))
+      s += (h.toDouble / Long.MaxValue)
+      i += 1
+    }
+    s / 2.0
+  }
+
+  def signature(vec: Array[Float], table: Int, bits: Int): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) {
+        dot += vec(d) * gauss(table, b, d)
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** LSH-bucketed approximate top-k cosine neighbors for every vector.
+    * Output: (qid, nid, sim, rk). Recall improves with more tables /
+    * fewer bits (bigger buckets).
+    */
+  def lshTopK(
+      vectors: Dataset[(Long, Array[Float])],
+      k: Int = 5,
+      tables: Int = 8,
+      bits: Int = 10): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sigs = vectors.flatMap { case (id, v) =>
+      (0 until tables).map(t => (t, signature(v, t, bits), id, v))
+    }.toDF("table", "sig", "id", "vec")
+    val pairs = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"),
+        col("a.vec").as("qv"), col("b.vec").as("nv"))
+      .dropDuplicates("qid", "nid")
+    val simed = pairs.as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (q, n, qv, nv) => (q, n, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5) }
+      .toDF("qid", "nid", "sim")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    simed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Brute-force exact top-k (the baseline; |q|×|n| via broadcast). */
+  def bruteTopK(
+      vectors: Dataset[(Long, Array[Float])],
+      queryFilter: Long => Boolean,
+      k: Int = 5): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = vectors.filter(v => queryFilter(v._1)).toDF("qid", "qv")
+    val n = broadcast(vectors.toDF("nid", "nv"))
+    val pairs = q.crossJoin(n).filter(col("qid") =!= col("nid"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (qid, qv, nid, nv) =>
+        (qid, nid, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5)
+      }.toDF("qid", "nid", "sim")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.Row
+
+import graft.model.{PageRow, Triple}
+import graft.pipeline.Pipeline
+
+/** Structured Streaming ingestion of the pages table (SURVEY.md §2.10).
+  *
+  * The per-document transform is stateless per row, so the batch pipeline
+  * streams unchanged: file source → same mapPartitions → sink. Cross-batch
+  * triple dedup uses `dropDuplicatesWithinWatermark` keyed on the triple
+  * identity with the page's `warc_ts` watermark, bounding state (the batch
+  * path dedups per document only — within a doc the emitter already
+  * dedups, so streaming adds at-most-once across late re-crawls of a url
+  * within the watermark).
+  */
+object StreamingPipeline {
+
+  val pageSchema: StructType = Encoders.product[PageRow].schema
+
+  /** Streaming pages source from a parquet directory. */
+  def readPages(spark: SparkSession, dir: String, globFilter: String = "*.parquet"): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(pageSchema)
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+      .as[PageRow]
+  }
+
+  /** Streaming triples with event-time + cross-batch dedup within the
+    * watermark. Output columns: warc_ts + the Triple fields.
+    */
+  def triples(
+      pages: Dataset[PageRow],
+      cfg: Pipeline.Config = Pipeline.Config(),
+      watermark: String = "1 hour"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .mapPartitions { it =>
+        val c = cfg.copy(dict = cfg.dictionary)
+        it.flatMap(p => Pipeline.convertPage(p, c).map(t => (p.warc_ts, t)))
+      }
+      .select(org.apache.spark.sql.functions.col("_1").as("warc_ts"),
+        org.apache.spark.sql.functions.col("_2.*"))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("docId", "subj", "frame", "pred", "obj")
+  }
+
+  /** Run the stream synchronously over whatever is in `dir` (test/backfill
+    * helper): memory sink, processAllAvailable, return the result table.
+    */
+  def runOnce(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = triples(readPages(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Pipeline, SynthCorpus}
+import graft.similarity.Ann
+import graft.streaming.StreamingPipeline
+
+class StreamingAnnSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming pipeline yields the same triple set as batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pages_stream").toString
+    val pages = SynthCorpus.pages(spark, 30, seed = 5L)
+    pages.write.mode("overwrite").parquet(dir)
+
+    val streamed = StreamingPipeline.runOnce(spark, dir, "stream_test")
+      .select("docId", "subj", "frame", "pred", "obj")
+      .as[(String, String, String, String, String)].collect().toSet
+    val batch = Pipeline.triples(spark.read.parquet(dir).as[graft.model.PageRow])
+      .map(t => (t.docId, t.subj, t.frame, t.pred, t.obj)).collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("lsh ann reaches usable recall vs brute force on real embeddings") {
+    import spark.implicits._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].cache()
+    val k = 5
+    val exact = Ann.bruteTopK(vecs, _ < 50, k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(vecs, k = k, tables = 24, bits = 6)
+      .filter(org.apache.spark.sql.functions.col("qid") < 50)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // testdata embeddings are random unit vectors (no cluster structure),
+    // the hardest case for LSH; random guessing of 5 of 499 would land
+    // recall ≈ 0.01 — require a large lift over chance, not high absolute
+    val n = vecs.count().toDouble
+    val chance = k / (n - 1)
+    info(f"ann recall@$k = $recall%.3f (chance=$chance%.3f, lift=${recall / chance}%.0fx)")
+    assert(recall >= 10 * chance, f"recall $recall%.3f not above 10x chance")
+    vecs.unpersist()
+  }
+}
