@@ -207,10 +207,11 @@ object SparkEntry {
         .select("doc_id", "text").as[(Long, String)]).toDF()
     }),
     "q24_simhash" -> ((s, d) => {
-      import s.implicits._
-      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
-        .map { case (id, text) => (id, graft.dedup.SimHash.simhash64(text)) }
-        .toDF("doc_id", "simhash")
+      // native Expression with doGenCode — stays in whole-stage codegen,
+      // unlike the Dataset.map/UDF formulation
+      graft.expr.SimHash64Expr.register(s)
+      s.read.parquet(t(d, "documents"))
+        .selectExpr("doc_id", "simhash64(text) AS simhash")
     }),
 
     // ---------- text analysis ----------

@@ -12,7 +12,11 @@ import graft.util.PyStr
   * biography-style pages. The chain:
   *   1. entity whose URI tail equals the document title (normalized);
   *   2. entity whose URI tail contains / is contained in the title;
-  *   3. most frequent URI among multi-word mentions (ties: first seen).
+  *   3. none — personal pronouns then fall through to the reference's
+  *      deterministic chain, which picks the first person-like mention
+  *      (measured better than a most-frequent-URI fallback: the page
+  *      subject often has no linked URI at all, and any frequency winner
+  *      is then some other entity).
   */
 object Protagonist {
 
@@ -34,7 +38,7 @@ object Protagonist {
       case e if e.uri.startsWith("http") && norm(uriTail(e.uri)) == tn => e.uri
     }
     if (exact.isDefined) return exact
-    val partial = entities.collectFirst {
+    entities.collectFirst {
       case e
           if e.uri.startsWith("http") && {
             val t2 = norm(uriTail(e.uri))
@@ -42,13 +46,5 @@ object Protagonist {
           } =>
         e.uri
     }
-    if (partial.isDefined) return partial
-    val counts = mutable.LinkedHashMap.empty[String, Int]
-    entities.foreach { e =>
-      val m = PyStr.strip(e.mention)
-      if (m.nonEmpty && e.uri.startsWith("http") && PyStr.split(m).length >= 2)
-        counts.update(e.uri, counts.getOrElse(e.uri, 0) + 1)
-    }
-    if (counts.isEmpty) None else Some(counts.maxBy(_._2)._1)
   }
 }

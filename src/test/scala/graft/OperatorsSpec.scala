@@ -96,6 +96,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SimHash.hamming(a, b) < SimHash.hamming(a, c))
   }
 
+  test("simhash64 Catalyst expression matches the JVM implementation") {
+    import spark.implicits._
+    graft.expr.SimHash64Expr.register(spark)
+    val rows = Seq("alpha beta gamma", "the quick brown fox", "")
+      .toDF("t")
+      .selectExpr("t", "simhash64(t) AS h")
+      .as[(String, Long)].collect()
+    rows.foreach { case (t, h) => assert(h == SimHash.simhash64(t)) }
+  }
+
   test("language id picks the right profile") {
     assert(LangId.detect("the cat sat on the mat and it was happy")._1 == "en")
     assert(LangId.detect("le chat est sur la table et il est content")._1 == "fr")
