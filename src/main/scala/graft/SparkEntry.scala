@@ -349,6 +349,28 @@ object SparkEntry {
       graft.multimodal.BinaryFeatures.extract(media).toDF()
     }),
 
+    // ---------- evaluation aggregates (A5–A7) over enriched triples ----------
+    "q43_eval_metrics" -> ((s, _) => {
+      import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit, round => rnd}
+      import s.implicits._
+      // deterministic pseudo-confidence per triple (no LLM judge available)
+      val enriched = Pipeline.triples(SynthCorpus.pages(s, 200)).toDF()
+        .withColumn("confidence",
+          rnd(pmod(xxhash64(col("subj"), col("pred"), col("obj")), lit(1000)) / 1000.0, 3))
+        .withColumn("extractable", col("confidence") >= 0.3)
+      graft.metrics.Aggregates.perDocMetrics(enriched)
+    }),
+    "q44_eval_rollup" -> ((s, _) => {
+      import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit, round => rnd}
+      import s.implicits._
+      val enriched = Pipeline.triples(SynthCorpus.pages(s, 200)).toDF()
+        .withColumn("confidence",
+          rnd(pmod(xxhash64(col("subj"), col("pred"), col("obj")), lit(1000)) / 1000.0, 3))
+        .withColumn("extractable", col("confidence") >= 0.3)
+      graft.metrics.Aggregates.corpusRollup(
+        graft.metrics.Aggregates.perDocMetrics(enriched))
+    }),
+
     "q42_ann_lsh" -> ((s, d) => {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, shuffle-freedom) are asserted on
+  * the explain output, so a refactor that silently loses them fails here
+  * rather than at 100 TB.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter query pushes predicates and prunes columns at the scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(l_shipdate"),
+      s"missing pushdown:\n$p")
+    assert(!p.contains("l_comment"), "scan reads unprojected columns")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("aggregation does map-side partial aggregation") {
+    val p = plan("q01_agg")
+    // partial + final HashAggregate pair around a single exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("KG pipeline plan is shuffle-free") {
+    val p = plan("q17_kg_triples")
+    assert(!p.contains("Exchange"), s"pipeline should not shuffle:\n$p")
+    assert(p.contains("MapPartitions"))
+  }
+
+  test("rank window shuffles once on the partition key with group-limit pushdown") {
+    val p = plan("q06_window_rank")
+    assert(p.contains("hashpartitioning(l_suppkey"),
+      s"expected hash exchange on l_suppkey:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, s"expected one exchange:\n$p")
+    // Spark 4 pushes rank<=1 below the shuffle as WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), s"missing group-limit pushdown:\n$p")
+  }
+}
