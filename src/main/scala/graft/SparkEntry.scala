@@ -378,6 +378,28 @@ object SparkEntry {
       graft.similarity.Ann.lshTopK(vecs, k = 5, tables = 8, bits = 8)
     }),
 
+    // A4 at scale: approximate distinct alongside exact (rows-only — HLL
+    // estimates are engine-specific so no cross-engine oracle exists)
+    "q46_approx_distinct" -> ((s, d) => {
+      s.read.parquet(t(d, "lineitem"))
+        .agg(
+          countDistinct("l_partkey").as("exact_parts"),
+          approx_count_distinct("l_partkey", 0.01).as("approx_parts"))
+    }),
+
+    // streaming KG construction end-to-end (rows-only): pages parquet →
+    // readStream → per-doc transform → watermark dedup → memory sink
+    "q45_stream_triples" -> ((s, _) => {
+      import s.implicits._
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q45_pages")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        SynthCorpus.pages(s, 50, seed = 9L)
+          .write.mode("overwrite").parquet(dir.toString)
+      }
+      graft.streaming.StreamingPipeline.runOnce(s, dir.toString, "q45_out")
+    }),
+
     // ---------- streaming (§2.10) ----------
     "q31_stream_window" -> ((s, d) => {
       val schema = s.read.parquet(t(d, "events")).schema

@@ -66,6 +66,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Exports.entityIndex(ts).count() == 4)
   }
 
+  test("coref resolver mirrors the reference's strategy chain") {
+    import graft.model.CtxEntity
+    import graft.rdf.Coref
+    val ctx = Vector(
+      CtxEntity("Audre Lorde", "http://x/Audre_Lorde", 0.4), // contains "dr"
+      CtxEntity("Marie Curie", "http://x/Marie_Curie", 0.9))
+    // protagonist prior wins for personal pronouns
+    assert(Coref.resolve("he", ctx, "He wrote.", Some("http://x/P")) ==
+      Some("http://x/P"))
+    // without protagonist: title-indicator substring matching fires —
+    // "Audre" contains "dr" (reference quirk, rdfify_improved.py:59)
+    assert(Coref.resolve("he", ctx, "He wrote.", None) == Some("Audre Lorde"))
+    // non-personal pronoun: context heuristics — entity before pronoun wins
+    assert(Coref.resolve("it", ctx, "Marie Curie discovered it.", None) ==
+      Some("Marie Curie"))
+    // no context at all
+    assert(Coref.resolve("they", Vector.empty, "They left.", None).isEmpty)
+  }
+
   test("typed literal dispatch preserves the gYear-before-integer order") {
     assert(Literals.xsdTypeOf("1956") == "gYear")
     assert(Literals.xsdTypeOf("195") == "integer")
