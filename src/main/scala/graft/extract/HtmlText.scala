@@ -111,8 +111,15 @@ object HtmlText {
               if (!selfClosing && !voidTags(name)) stack.push(el)
               if (name == "script" || name == "style") {
                 // raw text elements: consume until closing tag
+                // (case-insensitive scan, no full-document lowercase)
                 val close = "</" + name
-                val end = PyStr.lower(html).indexOf(close, gt + 1)
+                var end = -1
+                var k = gt + 1
+                val limit = n - close.length
+                while (end < 0 && k <= limit) {
+                  if (html.regionMatches(true, k, close, 0, close.length)) end = k
+                  else k += 1
+                }
                 if (end >= 0) {
                   val gt2 = html.indexOf('>', end)
                   i = if (gt2 < 0) n else gt2 + 1
@@ -200,27 +207,47 @@ object HtmlText {
     cleanText(parts.mkString(" "))
   }
 
-  /** wikipedia_scraper.py:127-153 — ordered regex cleanup chain. */
+  /** wikipedia_scraper.py:127-153 — ordered regex cleanup chain.
+    * Patterns are compiled once (this runs per document in the hot path).
+    */
+  private val cleanChain: Array[(Pattern, String)] = {
+    def p(s: String, flags: Int = 0) =
+      Pattern.compile(s, flags | Pattern.UNICODE_CHARACTER_CLASS)
+    Array(
+      p("\\[\\s*\\d+\\s*\\]") -> "",
+      p("\\[edit\\]") -> "",
+      p("\\[citation needed\\]") -> "",
+      p("\\[when\\?\\]") -> "",
+      p("\\[where\\?\\]") -> "",
+      p("\\[note\\s+\\d+\\]") -> "",
+      p("\\[[a-z]\\]") -> "",
+      p("\\[[A-Z]\\]") -> "",
+      p("\\[[a-z]\\s*\\]") -> "",
+      p("\\[[A-Z]\\s*\\]") -> "",
+      p("===\\s*(.*?)\\s*===") -> "$1.",
+      p("==\\s*(.*?)\\s*==") -> "\n\n$1\n",
+      p("\\s+") -> " ",
+      p("\\n{3,}") -> "\n\n",
+      p("^\\s+|\\s+$", Pattern.MULTILINE) -> "")
+  }
+
   def cleanText(text0: String): String = {
     if (text0.isEmpty) return ""
     var t = text0
-    def sub(p: String, r: String, flags: Int = 0): Unit =
-      t = Pattern.compile(p, flags | Pattern.UNICODE_CHARACTER_CLASS).matcher(t).replaceAll(r)
-    sub("\\[\\s*\\d+\\s*\\]", "")
-    sub("\\[edit\\]", "")
-    sub("\\[citation needed\\]", "")
-    sub("\\[when\\?\\]", "")
-    sub("\\[where\\?\\]", "")
-    sub("\\[note\\s+\\d+\\]", "")
-    sub("\\[[a-z]\\]", "")
-    sub("\\[[A-Z]\\]", "")
-    sub("\\[[a-z]\\s*\\]", "")
-    sub("\\[[A-Z]\\s*\\]", "")
-    sub("===\\s*(.*?)\\s*===", "$1.")
-    sub("==\\s*(.*?)\\s*==", "\n\n$1\n")
-    sub("\\s+", " ")
-    sub("\\n{3,}", "\n\n")
-    sub("^\\s+|\\s+$", "", Pattern.MULTILINE)
+    var i = 0
+    while (i < cleanChain.length) {
+      // guards: patterns 0-9 need '[', 10-11 need "==" — skip scans that
+      // cannot match (same output, far fewer Matcher allocations per doc)
+      val applicable =
+        if (i <= 9) t.indexOf('[') >= 0
+        else if (i <= 11) t.indexOf("==") >= 0
+        else true
+      if (applicable) {
+        val (pat, rep) = cleanChain(i)
+        t = pat.matcher(t).replaceAll(rep)
+      }
+      i += 1
+    }
     PyStr.strip(t)
   }
 }

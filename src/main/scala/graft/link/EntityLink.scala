@@ -76,6 +76,9 @@ object EntityLink {
       dict: AliasDict,
       threshold: Double): Vector[EntityMention] = {
     val tokens = tokenize(chunk)
+    val loweredTok = new Array[String](tokens.length)
+    var li = 0
+    while (li < tokens.length) { loweredTok(li) = PyStr.lower(tokens(li)._1); li += 1 }
     val out = Vector.newBuilder[EntityMention]
     var ti = 0
     while (ti < tokens.length) {
@@ -84,7 +87,7 @@ object EntityLink {
       var tj = ti
       var continue = true
       while (continue && tj < tokens.length) {
-        node.children.get(PyStr.lower(tokens(tj)._1)) match {
+        node.children.get(loweredTok(tj)) match {
           case Some(next) =>
             node = next
             if (node.entry.isDefined) best = Some((node.entry.get, tj))

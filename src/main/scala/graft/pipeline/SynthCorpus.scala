@@ -69,11 +69,15 @@ object SynthCorpus {
     val work = pick(works, mix(seed, i * 7 + 5))
     val subj = pick(subjectsOfStudy, mix(seed, i * 7 + 6))
     val death = birth + 41 + (mix(seed, i * 7 + 7) % 40).abs.toInt
-    s"$name was born in $p1 in $birth. " +
-      s"$name studied $subj at a university in $p2. " +
-      s"In ${birth + 25} $name wrote $work. " +
-      s"$name received the $prize in ${birth + 40}. " +
-      s"$name died in $p2 in $death."
+    val sb = new java.lang.StringBuilder(256)
+    sb.append(name).append(" was born in ").append(p1).append(" in ").append(birth)
+      .append(". ").append(name).append(" studied ").append(subj)
+      .append(" at a university in ").append(p2).append(". In ").append(birth + 25)
+      .append(' ').append(name).append(" wrote ").append(work).append(". ")
+      .append(name).append(" received the ").append(prize).append(" in ")
+      .append(birth + 40).append(". ").append(name).append(" died in ")
+      .append(p2).append(" in ").append(death).append('.')
+    sb.toString
   }
 
   /** Wrap the text in HTML whose extraction is byte-identical to `text`. */
@@ -94,13 +98,27 @@ object SynthCorpus {
       "</body></html>"
   }
 
-  def row(seed: Long, i: Long, skewFraction: Double): PageRow = {
+  private def url(i: Long): String = {
+    // manual zero-pad: String.format is too slow for the row hot path
+    val s = java.lang.Long.toString(i)
+    val sb = new java.lang.StringBuilder(40)
+    sb.append("https://example.org/wiki/doc_")
+    var p = 8 - s.length
+    while (p > 0) { sb.append('0'); p -= 1 }
+    sb.append(s).toString
+  }
+
+  /** `blankText=true` leaves the text column empty so consumers exercise
+    * the html→text extraction path (benchmarks), without a second
+    * Dataset.map/encode pass.
+    */
+  def row(seed: Long, i: Long, skewFraction: Double, blankText: Boolean = false): PageRow = {
     val t = text(seed, i, skewFraction)
     PageRow(
-      url = f"https://example.org/wiki/doc_$i%08d",
+      url = url(i),
       warc_ts = new Timestamp(1758931200000L + i * 1000L), // fixed epoch + i sec
       html = html(t).getBytes(StandardCharsets.UTF_8),
-      text = t,
+      text = if (blankText) "" else t,
       lang = "en")
   }
 
@@ -110,10 +128,11 @@ object SynthCorpus {
       n: Long,
       seed: Long = 42L,
       skewFraction: Double = 0.0,
-      partitions: Int = 0): Dataset[PageRow] = {
+      partitions: Int = 0,
+      blankText: Boolean = false): Dataset[PageRow] = {
     import spark.implicits._
     val base =
       if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
-    base.map(i => row(seed, i, skewFraction))
+    base.map(i => row(seed, i, skewFraction, blankText))
   }
 }

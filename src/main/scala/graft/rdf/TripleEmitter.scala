@@ -118,14 +118,20 @@ object TripleEmitter {
     // emitted_triples (rdfify_improved.py:812-815) and rdflib set semantics
     val emitted = mutable.LinkedHashMap.empty[(String, String, String), Triple]
 
+    // stripped + lowered mention per entity, computed once per document
+    val stripped = entities.map(e => PyStr.strip(e.mention)).toArray
+    val loweredM = stripped.map(PyStr.lower)
+
     sentences.foreach { sentence =>
       // _add_entities_from_sentence (rdfify_improved.py:325-343)
       val sl = PyStr.lower(sentence.text)
+      var ei = 0
       entities.foreach { e =>
-        val m = PyStr.strip(e.mention)
-        if (m.nonEmpty && sl.contains(PyStr.lower(m)) &&
-          !seenMentions.contains(PyStr.lower(m))) {
-          seenMentions += PyStr.lower(m)
+        val m = stripped(ei)
+        val ml = loweredM(ei)
+        ei += 1
+        if (m.nonEmpty && sl.contains(ml) && !seenMentions.contains(ml)) {
+          seenMentions += ml
           context = context :+ CtxEntity(m, e.uri, e.confidence)
         }
       }

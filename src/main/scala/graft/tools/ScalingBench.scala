@@ -26,12 +26,11 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     // text column blanked → the full path runs, including html→text
     // extraction (the real per-row work on a Common-Crawl-style table)
     def pages(n: Long) =
       SynthCorpus.pages(spark, n, seed = 42L, skewFraction = skew,
-        partitions = cores * 4).map(p => p.copy(text = ""))
+        partitions = cores * 4, blankText = true)
     try {
       // warmup (JIT + classloading), then one measured run
       Pipeline.triples(pages(2000)).count()
@@ -42,30 +41,43 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // single-measure mode for the multi-JVM cluster proxy:
+    //   ScalingBench single <cores> <docs> [seedOffset]
+    if (args.headOption.contains("single")) {
+      val cores = args(1).toInt
+      val nDocs = args(2).toLong
+      val (n, s) = measure(cores, nDocs, skew = 0.05)
+      println(f"scaling_single: cores=$cores docs=$nDocs triples=$n secs=$s%.2f docs_per_sec=${nDocs / s}%.1f")
+      return
+    }
     val nDocs = args.headOption.map(_.toLong).getOrElse(400000L)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val lo = args.lift(2).map(_.toInt).getOrElse(8)
+    val hi = args.lift(3).map(_.toInt).getOrElse(32)
     val skew = 0.05
     // The sandbox host shows minute-scale noisy-neighbor load swings, so
-    // interleave the two levels (8,32,8,32,...) and take each level's best —
-    // time-correlated noise then cannot bias the ratio.
+    // interleave the two levels (lo,hi,lo,hi,...) and take each level's
+    // best — time-correlated noise then cannot bias the ratio.
     val results = (1 to reps).flatMap { _ =>
-      Seq(8 -> measure(8, nDocs, skew), 32 -> measure(32, nDocs, skew))
+      Seq(lo -> measure(lo, nDocs, skew), hi -> measure(hi, nDocs, skew))
     }
     results.foreach { case (c, (n, s)) =>
       println(f"scaling_run: cores=$c docs=$nDocs secs=$s%.2f docs_per_sec=${nDocs / s}%.1f")
     }
-    val (n8, s8) = results.collect { case (8, r) => r }.minBy(_._2)
-    val (n32, s32) = results.collect { case (32, r) => r }.minBy(_._2)
+    val (n8, s8) = results.collect { case (`lo`, r) => r }.minBy(_._2)
+    val (n32, s32) = results.collect { case (`hi`, r) => r }.minBy(_._2)
     require(n8 == n32, s"nondeterministic triple count: $n8 vs $n32")
+    val factor = hi.toDouble / lo
     val thr8 = nDocs / s8
     val thr32 = nDocs / s32
     val tps8 = n8 / s8
     val tps32 = n32 / s32
-    val eff = (thr32 / thr8) / 4.0
+    val eff = (thr32 / thr8) / factor
     println(
       f"""{"metric":"scaling_efficiency","value":$eff%.3f,"docs":$nDocs,""" +
-        f""""triples":$n8,"secs_8":$s8%.2f,"secs_32":$s32%.2f,""" +
-        f""""docs_per_sec_8":$thr8%.1f,"docs_per_sec_32":$thr32%.1f,""" +
-        f""""triples_per_sec_8":$tps8%.1f,"triples_per_sec_32":$tps32%.1f}""")
+        f""""cores_lo":$lo,"cores_hi":$hi,""" +
+        f""""triples":$n8,"secs_lo":$s8%.2f,"secs_hi":$s32%.2f,""" +
+        f""""docs_per_sec_lo":$thr8%.1f,"docs_per_sec_hi":$thr32%.1f,""" +
+        f""""triples_per_sec_lo":$tps8%.1f,"triples_per_sec_hi":$tps32%.1f}""")
   }
 }
