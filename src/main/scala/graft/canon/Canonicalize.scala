@@ -62,8 +62,19 @@ object Canonicalize {
       val viaNeighbors = bidir
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("component"))
+      // pointer jumping (path compression) off the previous round's labels
+      // (safe self-join: labels is checkpointed, lineage already broken):
+      // node n with label c adopts c's own label — O(log diameter) rounds
+      // instead of O(diameter), the difference between ~40 and ~6 shuffle
+      // rounds at web scale
+      val jumped = labels
+        .join(
+          labels.select(col("node").as("component"), col("component").as("jump")),
+          Seq("component"))
+        .select(col("node"), col("jump").as("component"))
       val next = labels.select(col("node"), col("component"))
         .union(viaNeighbors)
+        .union(jumped)
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "old"), "node")
