@@ -10,9 +10,15 @@ import graft.pipeline.{Pipeline, SynthCorpus}
 object Bench {
 
   def run(spark: SparkSession, sfDir: String): (Map[String, Double], Long, Double) = {
-    // warmup: absorb codegen/classloading so per-query numbers are steady-state
-    try SparkEntry.queries("q01_agg")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    // warmup: absorb codegen/classloading so per-query numbers are
+    // steady-state; include a micro CC so the iterative-join machinery
+    // (checkpoint blocks, shuffle paths) is warm before q32 is timed
+    try {
+      SparkEntry.queries("q01_agg")(spark, sfDir).count()
+      import spark.implicits._
+      graft.canon.Canonicalize.connectedComponents(
+        Seq(("a", "b"), ("b", "c")).toDF("src", "dst")).count()
+    } catch { case _: Throwable => }
     val timings = SparkEntry.queries.toVector.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()

@@ -28,6 +28,10 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("driver entry point returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("full DAG: every synthetic doc yields triples with linked subjects") {
     import spark.implicits._
     val pages = SynthCorpus.pages(spark, 48, seed = 42L)
