@@ -85,6 +85,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Coref.resolve("they", Vector.empty, "They left.", None).isEmpty)
   }
 
+  test("html extractor is robust to malformed and minimal input") {
+    import graft.extract.HtmlText
+    // no mw-parser-output → body fallback
+    assert(HtmlText.extract("<html><body><p>Hello world.</p></body></html>") ==
+      "Hello world.")
+    // no body at all → whole document text
+    assert(HtmlText.extract("<p>Plain fragment</p>") == "Plain fragment")
+    // unclosed tags, stray close tags, comments, entities
+    assert(HtmlText.extract(
+      "<body><p>a &amp; b <b>bold</i> tail<!-- note --></p>more</body>") ==
+      "a & b bold tail more")
+    // script/style content never leaks
+    assert(HtmlText.extract(
+      "<body><style>p{color:red}</style><script>var x=1;</script><p>ok</p></body>") ==
+      "ok")
+    // empty and garbage inputs do not throw
+    assert(HtmlText.extract("") == "")
+    assert(HtmlText.extract("<<<>>><tag") != null)
+  }
+
   test("typed literal dispatch preserves the gYear-before-integer order") {
     assert(Literals.xsdTypeOf("1956") == "gYear")
     assert(Literals.xsdTypeOf("195") == "integer")
