@@ -43,6 +43,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"))
   }
 
+  test("triple store prunes partitions on the bucket column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_prune").toString
+    val pages = graft.pipeline.SynthCorpus.pages(spark, 16, seed = 3L)
+    graft.io.TripleStore.write(graft.pipeline.Pipeline.triples(pages), dir, buckets = 8)
+    val df = graft.io.TripleStore.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("bucket") === 3)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: [isnotnull(bucket"),
+      s"bucket filter not pushed to partition pruning:\n$p")
+  }
+
   test("rank window shuffles once on the partition key with group-limit pushdown") {
     val p = plan("q06_window_rank")
     assert(p.contains("hashpartitioning(l_suppkey"),
