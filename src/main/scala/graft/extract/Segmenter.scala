@@ -17,7 +17,8 @@ object Segmenter {
   private val abbreviations = Set(
     "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "rev", "gen", "hon",
     "capt", "col", "sgt", "lt", "vs", "etc", "eg", "ie", "cf", "al", "inc",
-    "ltd", "co", "corp", "no", "vol", "pp", "ed", "eds", "trans", "ca", "approx")
+    "ltd", "co", "corp", "no", "vol", "pp", "ed", "eds", "trans", "ca",
+    "approx", "c" /* circa */ )
 
   private def isCloser(c: Char): Boolean =
     c == '"' || c == '\'' || c == ')' || c == ']' || c == '”' || c == '’'
