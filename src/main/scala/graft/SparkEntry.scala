@@ -393,10 +393,8 @@ object SparkEntry {
       import s.implicits._
       val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_q45_pages")
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        SynthCorpus.pages(s, 50, seed = 9L)
-          .write.mode("overwrite").parquet(dir.toString)
-      }
+      SynthCorpus.pages(s, 50, seed = 9L)
+        .write.mode("overwrite").parquet(dir.toString)
       graft.streaming.StreamingPipeline.runOnce(s, dir.toString, "q45_out")
     }),
 

@@ -92,6 +92,14 @@ object TripleStore {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    // resume is only valid against the same unit partitioning
+    val unitsFile = Paths.get(outDir, "lineage", "_units")
+    if (Files.exists(unitsFile)) {
+      val prev = new String(Files.readAllBytes(unitsFile), StandardCharsets.UTF_8).trim.toInt
+      require(prev == units,
+        s"store at $outDir was built with --units $prev; resume must use the same value")
+    }
+
     val done = completedUnits(outDir)
     val withUnit = pages.withColumn("unit", bucketOf(col("url"), units))
     val pending =
@@ -130,7 +138,10 @@ object TripleStore {
     }
     if (results.nonEmpty) {
       Files.createDirectories(lineageDir(outDir))
-      val attempt = Files.list(lineageDir(outDir)).iterator.asScala.size
+      if (!Files.exists(unitsFile))
+        Files.write(unitsFile, units.toString.getBytes(StandardCharsets.UTF_8))
+      val attempt = Files.list(lineageDir(outDir)).iterator.asScala
+        .count(_.getFileName.toString.endsWith(".tsv"))
       val body = results.map(r => s"${r.unit}\t${r.docs}\t${r.triples}").mkString("\n")
       Files.write(
         lineageDir(outDir).resolve(f"attempt-$attempt%04d.tsv"),

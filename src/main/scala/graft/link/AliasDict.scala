@@ -16,13 +16,18 @@ final case class AliasEntry(mention: String, entity: String, uri: String, confid
 
 final class AliasDict private (val entries: Map[String, AliasEntry]) extends Serializable {
 
-  /** token-trie over lowercased alias token sequences for longest-match scan */
+  /** token-trie over lowercased alias token sequences for longest-match
+    * scan. Tokens are normalized like the linker's chunk tokenizer
+    * (trailing periods/hyphens/apostrophes stripped) so dotted-initial
+    * mentions like "F. Scott Fitzgerald" match.
+    */
   @transient lazy val trie: AliasDict.TrieNode = {
     val root = new AliasDict.TrieNode
     entries.foreach { case (k, e) =>
       var node = root
       PyStr.split(k).foreach { tok =>
-        node = node.children.getOrElseUpdate(tok, new AliasDict.TrieNode)
+        node = node.children.getOrElseUpdate(
+          AliasDict.normToken(tok), new AliasDict.TrieNode)
       }
       node.entry = Some(e)
     }
@@ -34,6 +39,18 @@ final class AliasDict private (val entries: Map[String, AliasEntry]) extends Ser
 }
 
 object AliasDict {
+
+  /** Strip trailing '.', '-', ''' — the same trim the chunk tokenizer
+    * applies — so dict tokens and text tokens meet in one space.
+    */
+  def normToken(t: String): String = {
+    var end = t.length
+    while (end > 0 && {
+      val c = t.charAt(end - 1)
+      c == '.' || c == '-' || c == '\'' || c == '’'
+    }) end -= 1
+    if (end == t.length) t else t.substring(0, end)
+  }
 
   final class TrieNode {
     val children: mutable.HashMap[String, TrieNode] = mutable.HashMap.empty
