@@ -137,6 +137,23 @@ object SparkEntry {
       o.union(c).distinct()
     }),
 
+    "q47_except" -> ((s, d) => {
+      val o = s.read.parquet(t(d, "orders"))
+      val all = o.select(col("o_custkey").as("k")).distinct()
+      val big = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("k")).distinct()
+      all.except(big)
+    }),
+    "q48_rollup" -> ((s, d) => {
+      s.read.parquet(t(d, "orders"))
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+    }),
+
     // ---------- scalar functions (§2.8) ----------
     "q13_strings" -> ((s, d) => {
       s.read.parquet(t(d, "documents"))
@@ -469,6 +486,14 @@ object SparkEntry {
         |GROUP BY l_partkey ORDER BY qty DESC, l_partkey LIMIT 30""".stripMargin,
     "q08_setops" ->
       "SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer",
+    "q47_except" ->
+      """SELECT DISTINCT o_custkey AS k FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000""".stripMargin,
+    "q48_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q13_strings" ->
       """SELECT doc_id, length(text) AS text_len,
         | upper(substr(text, 1, 10)) AS head10,

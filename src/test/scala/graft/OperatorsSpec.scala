@@ -66,6 +66,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Exports.entityIndex(ts).count() == 4)
   }
 
+  test("frame-mapping tables checksum matches the transcription source") {
+    import graft.rdf.FrameMappings
+    // every row of both reference tables, order-independent content hash
+    // (comprehensive_frame_mappings.py:11-296). Guards accidental edits of
+    // the generated tables.
+    val fsLines = FrameMappings.frameSpecific.toSeq.flatMap { case (f, m) =>
+      m.toSeq.map { case (r, p) => s"$f\t$r\t$p" }
+    }.sorted
+    val gLines = FrameMappings.generic.toSeq.map { case (r, p) => s"$r\t$p" }.sorted
+    assert(FrameMappings.frameSpecific.size == 96)
+    assert(FrameMappings.generic.size == 307)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((fsLines ++ gLines).mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(FrameMappings.predicateForRole("Unknown_role", "Unknown_frame") == "has_theme")
+    assert(FrameMappings.predicateForRole("Child", "Being_born") == "has_person")
+    assert(FrameMappings.predicateForRole("Agent", "Unknown_frame") == "has_agent")
+    // digest computed from the reference tables themselves (mining script)
+    assert(digest == "01206a1fc87227afd4e772099a5d2df3", s"mapping digest drifted: $digest")
+  }
+
   test("coref resolver mirrors the reference's strategy chain") {
     import graft.model.CtxEntity
     import graft.rdf.Coref

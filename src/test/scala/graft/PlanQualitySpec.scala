@@ -43,6 +43,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"))
   }
 
+  test("custom simhash64 expression stays inside whole-stage codegen") {
+    val p = plan("q24_simhash")
+    assert(p.contains("Project [codegen id"), s"projection left codegen:\n$p")
+    assert(p.contains("simhash64"), s"expression not present:\n$p")
+    assert(!p.contains("MapElements"), "fell back to Dataset.map")
+  }
+
   test("triple store prunes partitions on the bucket column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_prune").toString
