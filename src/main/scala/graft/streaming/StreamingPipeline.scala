@@ -53,6 +53,42 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("docId", "subj", "frame", "pred", "obj")
   }
 
+  /** Stateful recrawl handling: across micro-batches, emit a page only
+    * when its `warc_ts` is strictly newer than the newest version of the
+    * same url seen so far (keyed state = newest timestamp per url).
+    * Downstream the page's triples replace the previous crawl's via the
+    * idempotent per-unit overwrite in TripleStore. Event-time timeout
+    * bounds state: urls idle past the watermark are evicted.
+    */
+  def latestVersionPerUrl(
+      pages: Dataset[PageRow],
+      watermark: String = "1 hour"): Dataset[PageRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .withWatermark("warc_ts", watermark)
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[Long, PageRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[PageRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val newest = state.getOption.getOrElse(Long.MinValue)
+            val fresh = rows.filter(_.warc_ts.getTime > newest).toVector
+            if (fresh.isEmpty) Iterator.empty
+            else {
+              val winner = fresh.maxBy(_.warc_ts.getTime)
+              state.update(winner.warc_ts.getTime)
+              state.setTimeoutTimestamp(winner.warc_ts.getTime, watermark)
+              Iterator.single(winner)
+            }
+          }
+      }
+  }
+
   /** Run the stream synchronously over whatever is in `dir` (test/backfill
     * helper): memory sink, processAllAvailable, return the result table.
     */

@@ -27,6 +27,35 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful recrawl dedup keeps only the newest version per url") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("pages_recrawl").toString
+    // batch 1: original crawls
+    SynthCorpus.pages(spark, 10, seed = 21L)
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    // batch 2: recrawl of the same urls, 1 day newer, plus 5 new urls
+    val recrawl = SynthCorpus.pages(spark, 15, seed = 21L)
+      .map(p => p.copy(warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 86400000L)))
+    recrawl.write.mode("overwrite").parquet(s"$dir/b2")
+
+    val name = "recrawl_test"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = StreamingPipeline.latestVersionPerUrl(
+      StreamingPipeline.readPages(spark, s"$dir/b*", globFilter = "*.parquet"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(name)
+      .select("url", "warc_ts")
+      .as[(String, java.sql.Timestamp)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.getTime).max).toMap
+    assert(out.size == 15, s"expected 15 urls, got ${out.size}")
+    // urls present in both batches resolve to the newer timestamp
+    val doc0 = SynthCorpus.row(21L, 0L, 0.0)
+    assert(out(doc0.url) == doc0.warc_ts.getTime + 86400000L)
+  }
+
   test("lsh ann reaches usable recall vs brute force on real embeddings") {
     import spark.implicits._
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
