@@ -26,17 +26,44 @@ object Exports {
     triples.map(_.ttlLine).toDF("line")
   }
 
-  /** SPARQL-ish queryable TTL (batch_pipeline.py:687-712): URIs bracketed,
-    * literal objects quoted, short predicate form.
+  /** SPARQL-ish queryable TTL (batch_pipeline.py:687-712). The reference
+    * formats from triples RE-PARSED out of the custom TTL, so subjects are
+    * always bracketed and objects always quoted — URIs included (verified
+    * against golden `*_queryable.ttl`; see QueryableTtlParitySpec).
     */
   def queryableTtl(triples: Dataset[Triple]): DataFrame =
     df(triples).select(
       concat(
         lit("<"), col("subj"), lit("> <"),
-        concat(col("frame"), lit(":"), col("pred")), lit("> "),
-        when(col("objIsUri"), concat(lit("<"), col("obj"), lit(">")))
-          .otherwise(concat(lit("\""), col("obj"), lit("\""))),
-        lit(" .")).as("line"))
+        concat(col("frame"), lit(":"), col("pred")), lit("> \""),
+        col("obj"), lit("\" .")).as("line"))
+
+  /** P6: re-parse a custom-TTL line into (subject, predicate, object) —
+    * port of `_parse_custom_rdf_triples` (batch_pipeline.py:462-507),
+    * including its behavior on multi-word literal subjects (the first
+    * whitespace token becomes the subject). Returns None for comments,
+    * blanks, and sub-3-token lines.
+    */
+  def parseCustomTtlLine(line0: String): Option[(String, String, String)] = {
+    val line = graft.util.PyStr.strip(line0)
+    if (line.isEmpty || line.startsWith("@") || line.startsWith("#")) return None
+    val noTail = line.replaceAll("[;.]$", "")
+    val parts = graft.util.PyStr.split(noTail)
+    if (parts.length < 3) return None
+    def stripQuotes(s: String) = s.replaceAll("^[\"']+|[\"']+$", "")
+    Some((
+      stripQuotes(parts(0)),
+      stripQuotes(parts(1)),
+      stripQuotes(parts.drop(2).mkString(" "))))
+  }
+
+  /** Queryable-TTL line from a re-parsed triple (batch_pipeline.py:700-712). */
+  def queryableLineFromParsed(s: String, p: String, o: String): String = {
+    val subj = if (s.startsWith("<")) s else s"<$s>"
+    val pred = if (p.startsWith("<")) p else s"<$p>"
+    val obj = if (o.startsWith("<") || o.startsWith("\"")) o else "\"" + o + "\""
+    s"$subj $pred $obj ."
+  }
 
   /** Enriched triples CSV shape (batch_pipeline.py:462-507,668-685):
     * defaults confidence 0.9, source_sentence "Unknown", extractable true.
@@ -51,14 +78,20 @@ object Exports {
       lit(true).as("extractable"))
 
   /** Graph edges CSV (batch_pipeline.py:621-643): Source, Target, Label
-    * (base predicate, underscores → spaces), Frame (prefix before ':').
+    * (base predicate, underscores → spaces, '#' dropped, truncated to 20
+    * chars with "..." — batch_pipeline.py:1034-1042), Frame (prefix before
+    * ':'). Verified golden-exact in QueryableTtlParitySpec.
     */
-  def edgesCsv(triples: Dataset[Triple]): DataFrame =
+  def edgesCsv(triples: Dataset[Triple]): DataFrame = {
+    val label0 = regexp_replace(regexp_replace(col("pred"), "_", " "), "#", "")
+    val label = when(length(label0) > 20,
+      concat(substring(label0, 1, 17), lit("..."))).otherwise(label0)
     df(triples).select(
       cleanNodeName(col("subj")).as("Source"),
       cleanNodeName(col("obj")).as("Target"),
-      regexp_replace(col("pred"), "_", " ").as("Label"),
+      label.as("Label"),
       col("frame").as("Frame"))
+  }
 
   /** batch_pipeline.py:997-1006 — quotes stripped; non-URIs lose brackets. */
   def cleanNodeName(c: org.apache.spark.sql.Column) = {
