@@ -232,6 +232,15 @@ object SparkEntry {
     }),
 
     // ---------- text analysis ----------
+    "q49_near_dup_pairs" -> ((s, d) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(d, "documents"))
+        .select("doc_id", "text").as[(Long, String)]
+      graft.dedup.MinHashLsh.nearDuplicatePairs(docs, threshold = 0.5)
+        .toDF("a", "b", "jaccard")
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    }),
+
     "q25_token_count" -> ((s, d) => {
       s.read.parquet(t(d, "documents"))
         .select(

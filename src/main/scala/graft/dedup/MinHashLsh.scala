@@ -68,6 +68,34 @@ object MinHashLsh {
     docs.flatMap { case (id, text) => bandRows(id, text) }
   }
 
+  /** Full near-duplicate detection: LSH candidate generation (shuffle on
+    * (band, band_hash) buckets — never a cross join) followed by exact
+    * shingle-Jaccard verification of each candidate pair. Returns pairs
+    * (a < b) with jaccard ≥ threshold.
+    */
+  def nearDuplicatePairs(
+      docs: Dataset[(Long, String)],
+      threshold: Double = 0.8): Dataset[(Long, Long, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val b = bands(docs).toDF("id", "band", "band_hash")
+    val candidates = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val texts = docs.toDF("id", "text")
+    candidates
+      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), "a")
+      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), "b")
+      .select(col("a"), col("b"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+      .map { case (aId, bId, ta, tb) => (aId, bId, jaccard(ta, tb)) }
+      .filter(_._3 >= threshold)
+  }
+
   /** Exact word-shingle Jaccard for candidate verification. */
   def jaccard(a: String, b: String, k: Int = 3): Double = {
     val sa = shingles(a, k).toSet

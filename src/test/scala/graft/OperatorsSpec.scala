@@ -149,6 +149,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(MinHashLsh.jaccard(a, nearA) > 0.5)
   }
 
+  test("near-duplicate detection finds planted near-dups, no false pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val near = base.replace("today", "tomorrow")
+    val docs = (Seq((0L, base), (1L, near), (2L, base)) ++
+      (3L to 40L).map(i => (i, s"completely distinct document number $i about " +
+        s"topic${i} and subject${i * 7} with unique words like word${i * 13}")))
+      .toDS()
+    val pairs = graft.dedup.MinHashLsh.nearDuplicatePairs(docs, threshold = 0.5)
+      .collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 2L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)), s"near dup missed: $pairs")
+    assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 }, s"false pairs: $pairs")
+  }
+
   test("simhash hamming distance separates near from far") {
     val a = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta theta")
     val b = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta iota")
