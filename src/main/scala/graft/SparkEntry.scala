@@ -241,6 +241,24 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
     }),
 
+    "q50_quality_score" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val q = graft.text.Quality.score(text)
+          (id, q.n_tokens, q.mean_token_len, q.stopword_ratio, q.punct_ratio,
+            q.digit_ratio, q.composite)
+        }
+        .toDF("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+          "punct_ratio", "digit_ratio", "composite")
+    }),
+    "q51_bpe_tokens" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) => (id, graft.text.Quality.bpeIshTokenCount(text)) }
+        .toDF("doc_id", "n_pieces")
+    }),
+
     "q25_token_count" -> ((s, d) => {
       s.read.parquet(t(d, "documents"))
         .select(
@@ -403,6 +421,12 @@ object SparkEntry {
         .select("vec_id", "embedding").as[(Long, Array[Float])]
       graft.similarity.Ann.lshTopK(vecs, k = 5, tables = 8, bits = 8)
     }),
+    "q52_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      graft.similarity.Ann.ivfTopK(vecs, k = 5, nlist = 16, nprobe = 4)
+    }),
 
     // A4 at scale: approximate distinct alongside exact (rows-only — HLL
     // estimates are engine-specific so no cross-engine oracle exists)
@@ -528,6 +552,11 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
         | count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+    "q51_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INT)
+        |   AS n_pieces
+        |FROM documents""".stripMargin,
     "q25_token_count" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens

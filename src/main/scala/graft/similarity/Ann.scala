@@ -82,6 +82,85 @@ object Ann {
     simed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Deterministic k-means coarse quantizer trained on a driver-side
+    * sample — the IVF pattern: the centroid table is tiny (≈√n cells) and
+    * broadcasts; only assignment and probing are distributed.
+    */
+  def trainCentroids(
+      vectors: Dataset[(Long, Array[Float])],
+      nlist: Int,
+      iters: Int = 5,
+      sampleSize: Int = 10000): Array[Array[Float]] = {
+    val sample = vectors.orderBy(vectors.columns.head)
+      .limit(sampleSize).collect().map(_._2)
+    require(sample.nonEmpty, "empty vector set")
+    val dim = sample.head.length
+    // deterministic spread init: every (n/nlist)-th sample vector
+    var cents = Array.tabulate(math.min(nlist, sample.length)) { c =>
+      sample((c.toLong * sample.length / math.min(nlist, sample.length)).toInt).clone()
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, cents)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
+    }
+    cents
+  }
+
+  def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestDot = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val d = dot(v, cents(c))
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def topCentroids(v: Array[Float], cents: Array[Array[Float]], p: Int): Seq[Int] =
+    cents.indices.sortBy(c => -dot(v, cents(c))).take(p)
+
+  /** IVF approximate top-k: assign vectors to their nearest centroid cell,
+    * probe each query's `nprobe` closest cells, exact-rerank inside. The
+    * shuffle is the (cell) bucket join — |docs| × nprobe rows, no cross
+    * join. Complements [[lshTopK]] as the second scale path.
+    */
+  def ivfTopK(
+      vectors: Dataset[(Long, Array[Float])],
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = spark.sparkContext.broadcast(trainCentroids(vectors, nlist))
+    val assigned = vectors.map { case (id, v) =>
+      (nearestCentroid(v, cents.value), id, v)
+    }.toDF("cell", "nid", "nv")
+    val probes = vectors.flatMap { case (id, v) =>
+      topCentroids(v, cents.value, nprobe).map(c => (c, id, v))
+    }.toDF("cell", "qid", "qv")
+    val pairs = probes.join(assigned, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+      .as[(Int, Long, Array[Float], Long, Array[Float])]
+      .map { case (_, q, qv, n, nv) =>
+        (q, n, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5)
+      }.toDF("qid", "nid", "sim")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Brute-force exact top-k (the baseline; |q|×|n| via broadcast). */
   def bruteTopK(
       vectors: Dataset[(Long, Array[Float])],

@@ -66,6 +66,12 @@ class StreamingAnnSpec extends AnyFunSuite {
     val approx = Ann.lshTopK(vecs, k = k, tables = 24, bits = 6)
       .filter(org.apache.spark.sql.functions.col("qid") < 50)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(vecs, k = k, nlist = 12, nprobe = 4)
+      .filter(org.apache.spark.sql.functions.col("qid") < 50)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"ivf recall@$k = $ivfRecall%.3f")
+    assert(ivfRecall >= 0.2, f"ivf recall $ivfRecall%.3f too low")
     val recall = (exact & approx).size.toDouble / exact.size
     // testdata embeddings are random unit vectors (no cluster structure),
     // the hardest case for LSH; random guessing of 5 of 499 would land
