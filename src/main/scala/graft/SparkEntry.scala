@@ -425,7 +425,7 @@ object SparkEntry {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))
         .select("vec_id", "embedding").as[(Long, Array[Float])]
-      graft.similarity.Ann.ivfTopK(vecs, k = 5, nlist = 16, nprobe = 4)
+      graft.similarity.Ann.ivfTopK(vecs, k = 5, nlist = 64, nprobe = 8)
     }),
 
     // A4 at scale: approximate distinct alongside exact (rows-only — HLL

@@ -144,21 +144,25 @@ object Ann {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cents = spark.sparkContext.broadcast(trainCentroids(vectors, nlist))
+    // cogroup by cell: every vector crosses the shuffle once per probed
+    // cell, not once per candidate pair (pairs never carry arrays)
     val assigned = vectors.map { case (id, v) =>
       (nearestCentroid(v, cents.value), id, v)
-    }.toDF("cell", "nid", "nv")
+    }.groupByKey(_._1)
     val probes = vectors.flatMap { case (id, v) =>
       topCentroids(v, cents.value, nprobe).map(c => (c, id, v))
-    }.toDF("cell", "qid", "qv")
-    val pairs = probes.join(assigned, "cell")
-      .filter(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
-      .as[(Int, Long, Array[Float], Long, Array[Float])]
-      .map { case (_, q, qv, n, nv) =>
-        (q, n, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5)
-      }.toDF("qid", "nid", "sim")
+    }.groupByKey(_._1)
+    val sims = probes.cogroup(assigned) { (_, qs, ns) =>
+      val members = ns.map(t => (t._2, t._3)).toArray
+      qs.flatMap { case (_, qid, qv) =>
+        members.iterator.collect {
+          case (nid, nv) if nid != qid =>
+            (qid, nid, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5)
+        }
+      }
+    }.toDF("qid", "nid", "sim").dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** Brute-force exact top-k (the baseline; |q|×|n| via broadcast). */
