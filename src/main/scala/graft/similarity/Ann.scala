@@ -67,17 +67,20 @@ object Ann {
       bits: Int = 10): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val sigs = vectors.flatMap { case (id, v) =>
-      (0 until tables).map(t => (t, signature(v, t, bits), id, v))
-    }.toDF("table", "sig", "id", "vec")
-    val pairs = sigs.as("a").join(sigs.as("b"), Seq("table", "sig"))
-      .filter(col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("nid"),
-        col("a.vec").as("qv"), col("b.vec").as("nv"))
-      .dropDuplicates("qid", "nid")
-    val simed = pairs.as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (q, n, qv, nv) => (q, n, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5) }
-      .toDF("qid", "nid", "sim")
+    // group by bucket and pair inside it: each vector crosses the shuffle
+    // once per table, not once per candidate pair
+    val buckets = vectors.flatMap { case (id, v) =>
+      (0 until tables).map(t => ((t.toLong << 48) ^ (signature(v, t, bits) & 0xffffffffffffL), id, v))
+    }.groupByKey(_._1)
+    val simed = buckets.flatMapGroups { (_, it) =>
+      val members = it.map(t => (t._2, t._3)).toArray
+      for {
+        i <- members.indices.iterator
+        j <- members.indices.iterator
+        if members(i)._1 != members(j)._1
+      } yield (members(i)._1, members(j)._1,
+        math.floor(dot(members(i)._2, members(j)._2) * 1e5 + 0.5) / 1e5)
+    }.toDF("qid", "nid", "sim").dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     simed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
