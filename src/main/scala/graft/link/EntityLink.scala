@@ -30,13 +30,18 @@ object EntityLink {
       docId: String,
       text: String,
       dict: AliasDict,
-      threshold: Double = BatchThreshold): Vector[EntityMention] = {
+      threshold: Double = BatchThreshold,
+      disambiguator: Disambiguator = null): Vector[EntityMention] = {
+    // doc token set computed once; null disambiguator → surface's sole
+    // dictionary entry wins (last-write-wins, the reference-index analogue)
+    val docToks =
+      if (disambiguator == null) null else Disambiguator.docTokens(text)
     val all = Vector.newBuilder[EntityMention]
     if (text.length <= 500) {
-      all ++= linkChunk(docId, text, 0, dict, threshold)
+      all ++= linkChunk(docId, text, 0, dict, threshold, disambiguator, docToks)
     } else {
       Chunker.withOffsets(text).foreach { case (chunk, offset) =>
-        all ++= linkChunk(docId, chunk, offset, dict, threshold)
+        all ++= linkChunk(docId, chunk, offset, dict, threshold, disambiguator, docToks)
       }
     }
     // dedup on (mention, start, end), first wins
@@ -74,7 +79,9 @@ object EntityLink {
       chunk: String,
       offset: Int,
       dict: AliasDict,
-      threshold: Double): Vector[EntityMention] = {
+      threshold: Double,
+      disambiguator: Disambiguator = null,
+      docToks: Set[String] = null): Vector[EntityMention] = {
     val tokens = tokenize(chunk)
     val loweredTok = new Array[String](tokens.length)
     var li = 0
@@ -96,10 +103,17 @@ object EntityLink {
         }
       }
       best match {
-        case Some((entry, endTok)) =>
+        case Some((entry0, endTok)) =>
           val startChar = tokens(ti)._2
           val endChar = tokens(endTok)._2 + tokens(endTok)._1.length
           val surface = chunk.substring(startChar, endChar)
+          // context-cosine disambiguation between candidate URIs, if enabled
+          val entry =
+            if (disambiguator == null) entry0
+            else disambiguator.resolve(PyStr.lower(entry0.mention), docToks)
+              .map(c => entry0.copy(entity = c.entity, uri = c.uri,
+                confidence = c.confidence))
+              .getOrElse(entry0)
           if (entry.confidence >= threshold) {
             out += EntityMention(
               docId,

@@ -28,8 +28,11 @@ object Pipeline {
 
   final case class Config(
       relThreshold: Double = EntityLink.BatchThreshold,
-      dict: AliasDict = null) { // null → AliasDict.default (classpath singleton)
+      dict: AliasDict = null, // null → AliasDict.default (classpath singleton)
+      disambiguate: Boolean = true) {
     def dictionary: AliasDict = if (dict == null) AliasDict.default else dict
+    def disambiguator: graft.link.Disambiguator =
+      if (disambiguate) graft.link.Disambiguator.default else null
   }
 
   /** Per-page pure conversion — the unit of work. */
@@ -39,7 +42,8 @@ object Pipeline {
       else HtmlText.extract(new String(p.html, StandardCharsets.UTF_8))
     val sentences = Segmenter.sentences(text)
     val frames = FrameDetect.detectDoc(sentences)
-    val entities = EntityLink.link(p.url, text, cfg.dictionary, cfg.relThreshold)
+    val entities = EntityLink.link(p.url, text, cfg.dictionary, cfg.relThreshold,
+      disambiguator = cfg.disambiguator)
     TripleEmitter.convert(p.url, frames.toVector, entities)
   }
 

@@ -61,6 +61,35 @@ class RawTextGoldenSpec extends AnyFunSuite {
     assert(agreement >= 0.70, f"agreement $agreement%.3f below floor")
   }
 
+  test("context disambiguation beats last-write-wins on golden URI choice") {
+    import graft.link.Disambiguator
+    var baseHit = 0L; var disHit = 0L; var total = 0L
+    authors.foreach { case (dir, a) =>
+      inputIndex.get(a).foreach { inputDir =>
+        val text = readAll(s"/inputs/$inputDir.txt")
+        val golden = StageJson.parseEntities(a, resource(s"/golden/$dir/entities.json"))
+        val base = EntityLink.link(a, text, AliasDict.default)
+          .groupBy(e => PyStr.lower(e.mention)).view.mapValues(_.head.uri)
+        val dis = EntityLink.link(a, text, AliasDict.default,
+          disambiguator = Disambiguator.default)
+          .groupBy(e => PyStr.lower(e.mention)).view.mapValues(_.head.uri)
+        golden.foreach { g =>
+          val m = PyStr.lower(PyStr.strip(g.mention))
+          if (base.contains(m) || dis.contains(m)) {
+            total += 1
+            if (base.get(m).contains(g.uri)) baseHit += 1
+            if (dis.get(m).contains(g.uri)) disHit += 1
+          }
+        }
+      }
+    }
+    val baseAcc = baseHit.toDouble / total
+    val disAcc = disHit.toDouble / total
+    info(f"uri accuracy: last-write-wins=$baseAcc%.3f context-cosine=$disAcc%.3f ($total occurrences)")
+    assert(disAcc > baseAcc, "disambiguation should improve URI choice")
+    assert(disAcc >= 0.9, f"disambiguated accuracy $disAcc%.3f too low")
+  }
+
   test("entity linker recovers most golden mention surfaces from raw text") {
     var hit = 0L
     var total = 0L
