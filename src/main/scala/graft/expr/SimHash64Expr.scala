@@ -25,10 +25,16 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHash64Expr.eval(input.asInstanceOf[UTF8String])
+    SimHash64Expr.simhash(input.asInstanceOf[UTF8String])
 
+  // NOTE the explicit MODULE$ form: a bare `SimHash64Expr.simhash(...)`
+  // static-forwarder call does not exist on this class (the inherited
+  // `eval(InternalRow)` suppressed forwarder generation for same-named
+  // members and janino then failed compiling the generated code, silently
+  // falling the whole stage back to interpreted mode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.SimHash64Expr.eval($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.SimHash64Expr$$.MODULE$$.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
@@ -36,8 +42,8 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
 object SimHash64Expr {
 
-  /** Static entry used by both interpreted and generated code paths. */
-  def eval(s: UTF8String): Long = SimHash.simhash64(s.toString)
+  /** Shared entry for the interpreted and generated code paths. */
+  def simhash(s: UTF8String): Long = SimHash.simhash64(s.toString)
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

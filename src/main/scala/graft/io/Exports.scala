@@ -1,20 +1,23 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.model.Triple
 
 /** The reference's export sinks (S6–S8, batch_pipeline.py:393-803)
   * re-expressed as DataFrame transforms; callers pick the writer
-  * (`.write.text/csv/json`). All are narrow (no shuffle) except the
-  * aggregating ones, which shuffle exactly once on their group key.
+  * (`.write.text/csv/json`).
+  *
+  * Fidelity note: every sink except [[customTtl]] derives from triples
+  * RE-PARSED out of the custom TTL checkpoint (batch_pipeline.py:462-507),
+  * exactly as the reference does — including the degenerate behavior on
+  * multi-word literal subjects (the first whitespace token becomes the
+  * subject and the second becomes the predicate). [[reparsed]] is that
+  * shared re-parse step; QueryableTtlParitySpec gates it golden-exact
+  * against the reference's own checkpoint files.
   */
 object Exports {
-
-  import org.apache.spark.sql.SparkSession
-
-  private def df(triples: Dataset[Triple]): DataFrame = triples.toDF()
 
   /** Custom line-per-triple TTL (rdfify_improved.py:944-981). The
     * rdf:type / participates_in / frame→frame filters (P5) are already
@@ -25,18 +28,6 @@ object Exports {
     import spark.implicits._
     triples.map(_.ttlLine).toDF("line")
   }
-
-  /** SPARQL-ish queryable TTL (batch_pipeline.py:687-712). The reference
-    * formats from triples RE-PARSED out of the custom TTL, so subjects are
-    * always bracketed and objects always quoted — URIs included (verified
-    * against golden `*_queryable.ttl`; see QueryableTtlParitySpec).
-    */
-  def queryableTtl(triples: Dataset[Triple]): DataFrame =
-    df(triples).select(
-      concat(
-        lit("<"), col("subj"), lit("> <"),
-        concat(col("frame"), lit(":"), col("pred")), lit("> \""),
-        col("obj"), lit("\" .")).as("line"))
 
   /** P6: re-parse a custom-TTL line into (subject, predicate, object) —
     * port of `_parse_custom_rdf_triples` (batch_pipeline.py:462-507),
@@ -57,6 +48,23 @@ object Exports {
       stripQuotes(parts.drop(2).mkString(" "))))
   }
 
+  /** The shared sink-side view: emit the custom-TTL line per triple and
+    * re-parse it, exactly as the reference's export path does for every
+    * downstream sink (batch_pipeline.py:409-420 re-reads the rdf.ttl
+    * checkpoint). Columns: (docId, subject, predicate, object). Narrow
+    * (per-row), no shuffle.
+    */
+  def reparsed(triples: Dataset[Triple]): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples
+      .map(t => (t.docId, t.ttlLine))
+      .flatMap { case (d, l) =>
+        parseCustomTtlLine(l).map { case (s, p, o) => (d, s, p, o) }
+      }
+      .toDF("docId", "subject", "predicate", "object")
+  }
+
   /** Queryable-TTL line from a re-parsed triple (batch_pipeline.py:700-712). */
   def queryableLineFromParsed(s: String, p: String, o: String): String = {
     val subj = if (s.startsWith("<")) s else s"<$s>"
@@ -65,82 +73,279 @@ object Exports {
     s"$subj $pred $obj ."
   }
 
-  /** Enriched triples CSV shape (batch_pipeline.py:462-507,668-685):
-    * defaults confidence 0.9, source_sentence "Unknown", extractable true.
+  /** SPARQL-ish queryable TTL (batch_pipeline.py:687-712), built from the
+    * re-parsed checkpoint like the reference (verified golden-exact against
+    * `*_queryable.ttl`; QueryableTtlParitySpec).
+    */
+  def queryableTtl(triples: Dataset[Triple]): DataFrame =
+    reparsed(triples).select(
+      concat(
+        when(col("subject").startsWith("<"), col("subject"))
+          .otherwise(concat(lit("<"), col("subject"), lit(">"))),
+        lit(" "),
+        when(col("predicate").startsWith("<"), col("predicate"))
+          .otherwise(concat(lit("<"), col("predicate"), lit(">"))),
+        lit(" "),
+        when(col("object").startsWith("<") || col("object").startsWith("\""),
+          col("object"))
+          .otherwise(concat(lit("\""), col("object"), lit("\""))),
+        lit(" .")).as("line"))
+
+  /** Enriched triples CSV (batch_pipeline.py:462-507,668-685) on the
+    * defaults path: confidence 0.9, source_sentence "Unknown",
+    * extractable true. With evaluation results, use [[enrichedTriples]].
     */
   def triplesCsv(triples: Dataset[Triple]): DataFrame =
-    df(triples).select(
-      col("subj").as("subject"),
-      concat(col("frame"), lit(":"), col("pred")).as("predicate"),
-      col("obj").as("object"),
+    reparsed(triples).select(
+      col("subject"),
+      col("predicate"),
+      col("object"),
       lit(0.9).as("confidence"),
       lit("Unknown").as("source_sentence"),
       lit(true).as("extractable"))
 
-  /** Graph edges CSV (batch_pipeline.py:621-643): Source, Target, Label
-    * (base predicate, underscores → spaces, '#' dropped, truncated to 20
-    * chars with "..." — batch_pipeline.py:1034-1042), Frame (prefix before
-    * ':'). Verified golden-exact in QueryableTtlParitySpec.
+  /** One evaluation-result row, the J3 join's build side
+    * (batch_pipeline.py:489-499): `idx` is the row's position in the doc's
+    * evaluation list (first match wins), `extractable` is the doc-level
+    * flag (batch_pipeline.py:505).
     */
-  def edgesCsv(triples: Dataset[Triple]): DataFrame = {
-    val label0 = regexp_replace(regexp_replace(col("pred"), "_", " "), "#", "")
-    val label = when(length(label0) > 20,
-      concat(substring(label0, 1, 17), lit("..."))).otherwise(label0)
-    df(triples).select(
-      cleanNodeName(col("subj")).as("Source"),
-      cleanNodeName(col("obj")).as("Target"),
-      label.as("Label"),
-      col("frame").as("Frame"))
+  final case class EvalRow(
+      docId: String,
+      idx: Long,
+      eval_triple: String,
+      confidence: Double,
+      source_sentence: String,
+      extractable: Boolean)
+
+  /** J3: triple↔evaluation fuzzy containment join
+    * (batch_pipeline.py:489-518). For each custom-TTL line, the FIRST
+    * evaluation row (by list position) whose `triple` text equals or
+    * contains / is contained in the line (lowercased) supplies
+    * confidence + source sentence; otherwise defaults (0.9, "Unknown").
+    * Doc-local nested scan via cogroup on docId — the join never leaves
+    * the document, so the shuffle is one hash partition by docId and the
+    * per-task working set is one document's triples + evaluations.
+    */
+  def enrichedTriples(triples: Dataset[Triple], evals: Dataset[EvalRow]): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples.groupByKey(_.docId)
+      .cogroup(evals.groupByKey(_.docId)) { (docId, ts, es) =>
+        val evalList = es.toVector.sortBy(_.idx)
+        val docExtractable = evalList.headOption.forall(_.extractable)
+        ts.flatMap { t =>
+          val line = graft.util.PyStr.strip(t.ttlLine).replaceAll("[;.]$", "")
+          parseCustomTtlLine(t.ttlLine).map { case (s, p, o) =>
+            // _triples_match (batch_pipeline.py:510-518): equality or
+            // either-direction containment, lowercased; empty never matches
+            val lc = graft.util.PyStr.lower(graft.util.PyStr.strip(line))
+            val hit = evalList.find { e =>
+              val ec = graft.util.PyStr.lower(graft.util.PyStr.strip(e.eval_triple))
+              ec.nonEmpty && lc.nonEmpty && (ec == lc || lc.contains(ec) || ec.contains(lc))
+            }
+            (docId, s, p, o,
+              hit.map(_.confidence).getOrElse(0.9),
+              hit.map(_.source_sentence).getOrElse("Unknown"),
+              if (evalList.isEmpty) true else docExtractable)
+          }
+        }
+      }
+      .toDF("docId", "subject", "predicate", "object", "confidence",
+        "source_sentence", "extractable")
   }
 
   /** batch_pipeline.py:997-1006 — quotes stripped; non-URIs lose brackets. */
-  def cleanNodeName(c: org.apache.spark.sql.Column) = {
+  def cleanNodeName(c: Column): Column = {
     val stripped = regexp_replace(c, "^[\"']+|[\"']+$", "")
     when(stripped.startsWith("http://") || stripped.startsWith("https://"), stripped)
       .otherwise(regexp_replace(stripped, "[<>{}\\[\\]()]", ""))
   }
 
-  /** Predicate histogram (A3, batch_pipeline.py:602-619). */
+  /** _clean_edge_label (batch_pipeline.py:1026-1036): part after the last
+    * ':', underscores → spaces, '#' dropped, truncated to 20 chars.
+    */
+  def cleanEdgeLabel(pred: Column): Column = {
+    val base = substring_index(pred, ":", -1)
+    val label0 = regexp_replace(regexp_replace(base, "_", " "), "#", "")
+    when(length(label0) > 20, concat(substring(label0, 1, 17), lit("...")))
+      .otherwise(label0)
+  }
+
+  /** Graph edges CSV (batch_pipeline.py:621-643): Source, Target, Label,
+    * Frame — from the re-parsed checkpoint (golden-exact,
+    * QueryableTtlParitySpec).
+    */
+  def edgesCsv(triples: Dataset[Triple]): DataFrame =
+    reparsed(triples).select(
+      cleanNodeName(col("subject")).as("Source"),
+      cleanNodeName(col("object")).as("Target"),
+      cleanEdgeLabel(col("predicate")).as("Label"),
+      substring_index(col("predicate"), ":", 1).as("Frame"))
+
+  /** Predicate histogram (A3, batch_pipeline.py:602-619) over re-parsed
+    * predicates.
+    */
   def predicateHistogram(triples: Dataset[Triple]): DataFrame =
-    df(triples)
-      .groupBy(concat(col("frame"), lit(":"), col("pred")).as("predicate"))
+    reparsed(triples)
+      .groupBy(col("predicate"))
       .agg(count(lit(1)).as("n"))
 
   /** Entity index (A4, batch_pipeline.py:581-600): distinct union of
-    * subjects and objects. At 10^12-doc scale prefer
+    * re-parsed subjects and objects. At 10^12-doc scale prefer
     * `approx_count_distinct` for the cardinality; the index itself stays
     * exact (it is the dimension table of the KG).
     */
   def entityIndex(triples: Dataset[Triple]): DataFrame = {
-    val t = df(triples)
-    t.select(col("subj").as("entity"))
-      .union(t.select(col("obj").as("entity")))
+    val t = reparsed(triples)
+    t.select(col("subject").as("entity"))
+      .union(t.select(col("object").as("entity")))
       .distinct()
   }
 
   /** Node degree + top-k (A8/W3, visualization/simple_graph_generator.py:55-60). */
   def nodeDegree(triples: Dataset[Triple]): DataFrame = {
-    val t = df(triples)
-    t.select(col("subj").as("node"))
-      .union(t.select(col("obj").as("node")))
+    val t = reparsed(triples)
+    t.select(col("subject").as("node"))
+      .union(t.select(col("object").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
   }
 
   def topKByDegree(triples: Dataset[Triple], k: Int = 30): DataFrame =
     nodeDegree(triples).orderBy(col("degree").desc, col("node")).limit(k)
 
-  /** RAG-JSON shape (batch_pipeline.py:520-550): one JSON doc per document
-    * with its triples nested — `collect_list` of structs, rendered by
-    * `to_json` at write time.
+  /** F12 triple categorization for RAG retrieval
+    * (batch_pipeline.py:552-579): people/location/event/concept/other
+    * cascade over lowercased subject/predicate/object, exact keyword lists
+    * and check order of `_categorize_triples_for_rag`.
     */
-  def ragJson(triples: Dataset[Triple]): DataFrame =
-    df(triples)
-      .groupBy(col("docId"))
+  def tripleCategory(subj: Column, pred: Column, obj: Column): Column = {
+    val s = lower(subj); val p = lower(pred); val o = lower(obj)
+    def anyIn(cols: Seq[Column], kws: Seq[String]): Column =
+      kws.flatMap(k => cols.map(_.contains(k))).reduce(_ || _)
+    when(anyIn(Seq(s, o), Seq("christie", "agatha", "person", "author")),
+      "people_related")
+      .when(anyIn(Seq(s, o), Seq("torquay", "england", "place", "location")),
+        "location_related")
+      .when(anyIn(Seq(p, o), Seq("born", "death", "event", "happened")),
+        "event_related")
+      .when(anyIn(Seq(s, o), Seq("mystery", "novel", "book", "writing")),
+        "concept_related")
+      .otherwise("other")
+  }
+
+  /** F12 node classification (batch_pipeline.py:949-969,
+    * `_classify_node_type`): first matching keyword family wins.
+    */
+  def nodeCategory(node: Column): Column = {
+    val n = lower(node)
+    def anyIn(kws: Seq[String]): Column = kws.map(n.contains(_)).reduce(_ || _)
+    when(anyIn(Seq("christie", "agatha", "person", "author", "writer")), "people")
+      .when(anyIn(Seq("torquay", "england", "place", "location", "city", "country")),
+        "locations")
+      .when(anyIn(Seq("born", "death", "died", "event", "happened")), "events")
+      .when(anyIn(Seq("mystery", "novel", "book", "work", "writing", "literature")),
+        "concepts")
+      .otherwise("other")
+  }
+
+  /** Distinct re-parsed nodes with their F12 category. */
+  def categorizeNodes(triples: Dataset[Triple]): DataFrame = {
+    val t = reparsed(triples)
+    t.select(cleanNodeName(col("subject")).as("node"))
+      .union(t.select(cleanNodeName(col("object")).as("node")))
+      .distinct()
+      .select(col("node"), nodeCategory(col("node")).as("category"))
+  }
+
+  /** RAG-JSON shape (batch_pipeline.py:520-600): one JSON doc per document
+    * with its triples (each carrying its F12 category), the entity index
+    * and predicate index nested. The reference preserves file order inside
+    * each doc; distributed execution has no stable row order, so arrays
+    * are sorted — a documented determinism-over-order deviation.
+    */
+  def ragJson(triples: Dataset[Triple]): DataFrame = {
+    val t = reparsed(triples)
+    t.groupBy(col("docId"))
       .agg(
         count(lit(1)).as("total_triples"),
-        collect_list(struct(
-          col("subj").as("subject"),
-          concat(col("frame"), lit(":"), col("pred")).as("predicate"),
-          col("obj").as("object"))).as("triples"))
-      .select(col("docId"), to_json(struct(col("total_triples"), col("triples"))).as("json"))
+        sort_array(collect_list(struct(
+          col("subject"),
+          col("predicate"),
+          col("object"),
+          tripleCategory(col("subject"), col("predicate"), col("object"))
+            .as("category")))).as("triples"),
+        sort_array(array_distinct(
+          flatten(collect_list(array(col("subject"), col("object"))))))
+          .as("entities"),
+        sort_array(array_distinct(collect_list(col("predicate"))))
+          .as("unique_predicates"))
+      .select(
+        col("docId"),
+        to_json(struct(
+          col("total_triples"), col("triples"),
+          col("entities"), col("unique_predicates"))).as("json"))
+  }
+
+  /** S7: SPARQL query-template export (batch_pipeline.py:714-769) — one
+    * template file body per document, byte-identical to the reference's
+    * `*_queries.sparql` save for the per-file header name.
+    */
+  def sparqlTemplateText(fileName: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"# SPARQL Query Templates for $fileName\n"
+    sb ++= "# Generated for RAG applications\n\n"
+    sb ++= "# PREFIX definitions\n"
+    sb ++= "PREFIX : <http://example.org/>\n"
+    sb ++= "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+    sb ++= "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n\n"
+    sb ++= "# Query 1: Find all people mentioned\n"
+    sb ++= "SELECT ?person ?predicate ?value WHERE {\n"
+    sb ++= "  ?person ?predicate ?value .\n"
+    sb ++= "  FILTER(CONTAINS(STR(?person), \"christie\") || CONTAINS(STR(?person), \"agatha\"))\n"
+    sb ++= "}\n\n"
+    sb ++= "# Query 2: Find all locations\n"
+    sb ++= "SELECT ?location ?predicate ?value WHERE {\n"
+    sb ++= "  ?location ?predicate ?value .\n"
+    sb ++= "  FILTER(CONTAINS(STR(?location), \"torquay\") || CONTAINS(STR(?location), \"england\"))\n"
+    sb ++= "}\n\n"
+    sb ++= "# Query 3: Find all events (birth, death, etc.)\n"
+    sb ++= "SELECT ?event ?predicate ?value WHERE {\n"
+    sb ++= "  ?event ?predicate ?value .\n"
+    sb ++= "  FILTER(CONTAINS(STR(?predicate), \"born\") || CONTAINS(STR(?predicate), \"death\"))\n"
+    sb ++= "}\n\n"
+    sb ++= "# Query 4: Find all relationships for a specific entity\n"
+    sb ++= "SELECT ?subject ?predicate ?object WHERE {\n"
+    sb ++= "  ?subject ?predicate ?object .\n"
+    sb ++= "  FILTER(?subject = <http://example.org/entity/Agatha_Christie>)\n"
+    sb ++= "}\n\n"
+    sb ++= "# Query 5: Find all triples with specific predicate type\n"
+    sb ++= "SELECT ?subject ?predicate ?object WHERE {\n"
+    sb ++= "  ?subject ?predicate ?object .\n"
+    sb ++= "  FILTER(CONTAINS(STR(?predicate), \"has_location\"))\n"
+    sb ++= "}\n\n"
+    sb ++= "# Query 6: Count triples by predicate type\n"
+    sb ++= "SELECT ?predicate (COUNT(*) as ?count) WHERE {\n"
+    sb ++= "  ?subject ?predicate ?object .\n"
+    sb ++= "} GROUP BY ?predicate ORDER BY DESC(?count)\n\n"
+    sb ++= "# Query 7: Find all unique entities\n"
+    sb ++= "SELECT DISTINCT ?entity WHERE {\n"
+    sb ++= "  { ?entity ?p ?o } UNION { ?s ?p ?entity }\n"
+    sb ++= "}\n\n"
+    sb ++= "# Query 8: Find entities connected to a specific concept\n"
+    sb ++= "SELECT ?entity ?predicate ?concept WHERE {\n"
+    sb ++= "  ?entity ?predicate ?concept .\n"
+    sb ++= "  FILTER(CONTAINS(STR(?concept), \"mystery\") || CONTAINS(STR(?concept), \"novel\"))\n"
+    sb ++= "}\n"
+    sb.result()
+  }
+
+  /** One (docId, sparql) row per document; the template text is a pure
+    * function of the doc name, so this is a narrow distinct-projection.
+    */
+  def sparqlTemplates(triples: Dataset[Triple]): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples.map(_.docId).distinct().map(d => (d, sparqlTemplateText(d)))
+      .toDF("docId", "sparql")
+  }
 }

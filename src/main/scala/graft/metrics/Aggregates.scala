@@ -30,15 +30,19 @@ object Aggregates {
   /** A6: per-document metrics (accuracy_calculator.py:28-74) — note the
     * reference uses *sample* stdev (statistics.stdev) → stddev_samp.
     */
-  def perDocMetrics(enriched: DataFrame): DataFrame =
+  def perDocMetrics(enriched: DataFrame): DataFrame = {
+    // stddev over a single point is undefined (the reference's
+    // statistics.stdev raises); Spark yields NaN there — report null
+    val sd = stddev_samp(when(col("extractable"), col("confidence")))
     enriched.groupBy("docId").agg(
       count(lit(1)).as("total_triples"),
       round(avg(when(col("extractable"), 1.0).otherwise(0.0)), 4).as("extraction_rate"),
       round(avg(when(col("extractable"), col("confidence"))), 4).as("mean_confidence"),
-      round(stddev_samp(when(col("extractable"), col("confidence"))), 4).as("sd_confidence"),
+      when(isnan(sd), lit(null)).otherwise(round(sd, 4)).as("sd_confidence"),
       sum(when(col("confidence") >= 0.8, 1).otherwise(0)).as("bucket_high"),
       sum(when(col("confidence") >= 0.5 && col("confidence") < 0.8, 1).otherwise(0)).as("bucket_mid"),
       sum(when(col("confidence") < 0.5, 1).otherwise(0)).as("bucket_low"))
+  }
 
   /** A7: corpus rollup (accuracy_calculator.py:76-115). */
   def corpusRollup(perDoc: DataFrame): DataFrame =
@@ -47,6 +51,8 @@ object Aggregates {
       sum("total_triples").as("total_triples"),
       round(avg("extraction_rate"), 4).as("mean_extraction_rate"),
       round(stddev_samp("extraction_rate"), 4).as("sd_extraction_rate"),
-      max_by(col("docId"), col("extraction_rate")).as("best_doc"),
-      min_by(col("docId"), col("extraction_rate")).as("worst_doc"))
+      // docId as secondary orderer: deterministic under rate ties (a bare
+      // max_by picks an arbitrary doc among tied rates)
+      max_by(col("docId"), struct(col("extraction_rate"), col("docId"))).as("best_doc"),
+      min_by(col("docId"), struct(col("extraction_rate"), col("docId"))).as("worst_doc"))
 }

@@ -1,30 +1,32 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.types._
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Multimodal (image/audio/video) columns as opaque `binary` + typed
   * metadata, per the training-data-pipeline requirements.
   *
   * The Spark-side plumbing — schema, batched per-partition processing, the
-  * feature-row contract — is real and tested. The actual media *decode* is
-  * STUBBED (no image/audio codecs ship in this container): `decodeStub`
-  * derives deterministic pseudo-metadata from the bytes. Swap `decodeStub`
-  * for a real decoder (e.g. javax.imageio / ffmpeg JNI) on a cluster with
-  * the codec libs installed; nothing else changes.
+  * feature-row contract — is real and tested. Image decode is REAL for the
+  * formats the JDK ships codecs for (PNG/JPEG/GIF/BMP via `javax.imageio`,
+  * no external deps); payloads no reader recognizes fall back to
+  * `decodeStub`, the clearly-marked deterministic fake for codec-less
+  * media (audio/video in this container).
   */
 object BinaryFeatures {
 
   final case class MediaFeatures(
       doc_id: Long,
+      kind: String, // "image" when really decoded, "stub" otherwise
       byte_len: Int,
       width: Int,
       height: Int,
       n_frames: Int,
       mean_byte: Double)
 
-  /** STUB decode: deterministic fake metadata from raw bytes. A real
-    * decoder returns genuine width/height/frame-count here.
+  /** STUB decode: deterministic fake metadata from raw bytes. Only used
+    * when no JDK image reader accepts the payload.
     */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val len = bytes.length
@@ -33,6 +35,7 @@ object BinaryFeatures {
     while (i < len) { sum += (bytes(i) & 0xff); i += 1 }
     MediaFeatures(
       doc_id = id,
+      kind = "stub",
       byte_len = len,
       width = len % 640,
       height = len % 480,
@@ -42,6 +45,56 @@ object BinaryFeatures {
         else math.floor(sum.toDouble / len * 1000 + 0.5) / 1000)
   }
 
+  /** Real decode via `javax.imageio` (headless-safe): genuine
+    * width/height and mean of raster band 0 (= gray level for grayscale,
+    * red channel otherwise). Falls back to [[decodeStub]] when no reader
+    * claims the bytes.
+    */
+  def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) decodeStub(id, bytes)
+    else {
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MediaFeatures(
+        doc_id = id,
+        kind = "image",
+        byte_len = bytes.length,
+        width = w,
+        height = h,
+        n_frames = 1,
+        mean_byte = math.floor(sum.toDouble / (w.toLong * h) * 1000 + 0.5) / 1000)
+    }
+  }
+
+  /** Deterministic single-color grayscale PNG — the test/bench fixture
+    * generator (pure JDK, headless).
+    */
+  def syntheticPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Batched feature extraction over (id, payload) binary rows — the
     * Scala analogue of a pandas-UDF `mapInPandas` stage: per-partition
     * batching, columnar-friendly output schema, no driver involvement.
@@ -49,7 +102,7 @@ object BinaryFeatures {
   def extract(media: Dataset[(Long, Array[Byte])]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+    media.mapPartitions(_.map { case (id, bytes) => decode(id, bytes) })
   }
 
   /** Frame-sampling stub: every k-th "frame" index of a video payload —

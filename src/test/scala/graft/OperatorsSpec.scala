@@ -49,7 +49,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
-  test("exports produce the reference shapes") {
+  test("exports produce the reference shapes (re-parse semantics)") {
     import spark.implicits._
     val ts = Seq(
       Triple("d", "http://en.wikipedia.org/wiki/X", true, "Being_born", "Child", "has_person", "Y Z", false),
@@ -57,13 +57,111 @@ class OperatorsSpec extends AnyFunSuite {
     val ttl = Exports.customTtl(ts).as[String].collect().toSet
     assert(ttl("http://en.wikipedia.org/wiki/X Being_born:has_person Y Z"))
     assert(ttl("literal subj Death:has_time 1956"))
+    // every sink below inherits the reference's checkpoint RE-PARSE
+    // (batch_pipeline.py:462-507): the multi-word literal subject
+    // "literal subj" degenerates to subject "literal" and predicate "subj"
+    // — reproduced deliberately (QueryableTtlParitySpec gates this
+    // behavior golden-exact against the reference's own outputs)
     val qttl = Exports.queryableTtl(ts).as[String].collect().toSet
     assert(qttl("""<http://en.wikipedia.org/wiki/X> <Being_born:has_person> "Y Z" ."""))
-    val edges = Exports.edgesCsv(ts).collect().map(r => (r.getString(2), r.getString(3))).toSet
-    assert(edges == Set(("has person", "Being_born"), ("has time", "Death")))
+    assert(qttl("""<literal> <subj> "Death:has_time 1956" ."""))
+    val edges = Exports.edgesCsv(ts)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(edges == Set(
+      ("http://en.wikipedia.org/wiki/X", "Y Z", "has person", "Being_born"),
+      ("literal", "Death:has_time 1956", "subj", "subj")))
     val hist = Exports.predicateHistogram(ts).as[(String, Long)].collect().toMap
-    assert(hist("Being_born:has_person") == 1L)
+    assert(hist == Map("Being_born:has_person" -> 1L, "subj" -> 1L))
     assert(Exports.entityIndex(ts).count() == 4)
+  }
+
+  test("F12 categorization mirrors the reference keyword cascades") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // subject keyword → people wins over later families (check order)
+      ("http://x/Agatha_Christie", "Being_born:has_time", "1890"),
+      ("http://x/Torquay", "loc:has_name", "a place"),
+      ("http://x/Thing", "Death:death_of", "someone"),
+      ("http://x/Thing", "has:theme", "a mystery novel"),
+      ("http://x/Thing", "has:theme", "nothing special"))
+      .toDF("s", "p", "o")
+    val cats = rows.select(
+      Exports.tripleCategory(col("s"), col("p"), col("o")).as("c"))
+      .as[String].collect().toVector
+    assert(cats == Vector("people_related", "location_related", "event_related",
+      "concept_related", "other"))
+    val nodes = Seq("Agatha Christie", "Torquay Harbour", "died 1976",
+      "a mystery tale", "plain").toDF("n")
+    val ncats = nodes.select(Exports.nodeCategory(col("n")).as("c"))
+      .as[String].collect().toVector
+    assert(ncats == Vector("people", "locations", "events", "concepts", "other"))
+  }
+
+  test("J3 fuzzy eval join: first match wins, containment both ways, defaults") {
+    import spark.implicits._
+    val ts = Seq(
+      Triple("d1", "http://x/A", true, "F", "R", "has_theme", "Some Theme", false),
+      Triple("d1", "http://x/B", true, "G", "R", "has_agent", "Agent B", false),
+      Triple("d2", "http://x/C", true, "H", "R", "has_time", "1901", false)).toDS()
+    val evals = Seq(
+      // idx 1 and 2 both contain the d1/A line (lowercased) — idx 1 wins
+      Exports.EvalRow("d1", 1L, "pad http://x/a f:has_theme some theme pad", 0.7, "s1", true),
+      Exports.EvalRow("d1", 2L, "http://x/A F:has_theme Some Theme", 0.2, "s2", true),
+      // substring of the d1/B line → eval ⊂ line containment
+      Exports.EvalRow("d1", 3L, "g:has_agent agent b", 0.4, "s3", true),
+      // non-match noise
+      Exports.EvalRow("d1", 4L, "zz nothing here at all", 0.1, "s4", true)).toDS()
+    val out = Exports.enrichedTriples(ts, evals)
+      .collect().map(r => (r.getString(1), r.getDouble(4), r.getString(5), r.getBoolean(6)))
+      .toSet
+    assert(out == Set(
+      ("http://x/A", 0.7, "s1", true), // first match by idx, not best match
+      ("http://x/B", 0.4, "s3", true),
+      ("http://x/C", 0.9, "Unknown", true))) // doc without evals → defaults
+  }
+
+  test("sameAs edges skip genuinely ambiguous surfaces") {
+    import spark.implicits._
+    val mentionUri = Seq(
+      ("Chinese", "http://x/China"), ("chinese", "http://x/Chinese_language"),
+      ("Alpha", "http://x/A"), ("alpha", "http://x/A2")).toDF("mention", "uri")
+    val edges = Canonicalize.sameAsEdges(mentionUri, Set("chinese"))
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(("http://x/A2", "http://x/A")))
+    // the default exclusion list is the disambiguator's candidate dict
+    assert(Canonicalize.defaultAmbiguousSurfaces.nonEmpty)
+  }
+
+  test("connected components throws instead of returning unconverged labels") {
+    import spark.implicits._
+    val chain = Seq.tabulate(40)(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Canonicalize.connectedComponents(chain, maxIter = 2)
+    }
+    // pointer jumping converges the 41-node chain well inside the cap
+    val cc = Canonicalize.connectedComponents(chain)
+      .as[(String, String)].collect()
+    assert(cc.map(_._2).distinct.toSeq == Seq("n0"))
+  }
+
+  test("F3 truncation matches reduce_author_contents semantics") {
+    import graft.text.Truncate.toSentenceBoundary
+    assert(toSentenceBoundary("short text.", 100) == "short text.")
+    // boundary past 80% of the limit → cut at the sentence end
+    val s1 = ("x" * 90) + ". tail that goes on and on"
+    assert(toSentenceBoundary(s1, 100) == ("x" * 90) + ".")
+    // boundary too early (≤80%) → hard cut + ellipsis
+    val s2 = ("y" * 50) + ". " + "z" * 100
+    assert(toSentenceBoundary(s2, 100) == s2.take(97) + "...")
+    // exactly at 80% is NOT enough (strict >), one past is
+    val s3 = ("a" * 80) + "." + "b" * 100
+    assert(toSentenceBoundary(s3, 100) == s3.take(97) + "...")
+    val s3b = ("a" * 81) + "." + "b" * 100
+    assert(toSentenceBoundary(s3b, 100) == ("a" * 81) + ".")
+    // '!' and '?' count as sentence ends
+    val s4 = ("q" * 89) + "? tail tail tail tail"
+    assert(toSentenceBoundary(s4, 100) == ("q" * 89) + "?")
   }
 
   test("frame-mapping tables checksum matches the transcription source") {

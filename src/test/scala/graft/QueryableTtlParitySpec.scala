@@ -58,6 +58,26 @@ class QueryableTtlParitySpec extends AnyFunSuite {
     assert(checked >= 90)
   }
 
+  test("SPARQL template export matches the reference byte-for-byte") {
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/reference/evaluation_outputs")))
+    val authors = lines("/golden/index.txt").filter(_.nonEmpty)
+      .map(_.split('\t')).map(p => p(p.length - 1))
+    var checked = 0
+    authors.foreach { a =>
+      val p = java.nio.file.Paths.get(
+        s"/root/reference/evaluation_outputs/$a/rdf/${a}_queries.sparql")
+      if (java.nio.file.Files.exists(p)) {
+        val golden = new String(
+          java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+        assert(Exports.sparqlTemplateText(a) == golden, s"$a template drift")
+        checked += 1
+      }
+    }
+    info(s"checked $checked authors")
+    assert(checked >= 90)
+  }
+
   /** Minimal RFC-4180 CSV line splitter for the golden fixtures. */
   private def csvFields(line: String): Vector[String] = {
     val out = Vector.newBuilder[String]
