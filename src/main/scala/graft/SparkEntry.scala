@@ -435,13 +435,13 @@ object SparkEntry {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))
         .select("vec_id", "embedding").as[(Long, Array[Float])]
-      graft.similarity.Ann.lshTopK(vecs, k = 5, tables = 8, bits = 8)
+      graft.similarity.Ann.lshTopK(vecs, k = 5, tables = 16, bits = 4)
     }),
     "q52_ann_ivf" -> ((s, d) => {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))
         .select("vec_id", "embedding").as[(Long, Array[Float])]
-      graft.similarity.Ann.ivfTopK(vecs, k = 5, nlist = 64, nprobe = 8)
+      graft.similarity.Ann.ivfTopK(vecs, k = 5, nlist = 32, nprobe = 20)
     }),
 
     // A4 at scale: exact distinct (oracled) + an in-query assertion that

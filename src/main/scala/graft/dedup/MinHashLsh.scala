@@ -1,16 +1,29 @@
 package graft.dedup
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
 
 import graft.util.PyStr
 
 /** MinHash + LSH banding for near-duplicate detection at corpus scale.
   *
-  * shingle (word 3-grams) → 64 minhash values (one per seeded hash) →
-  * 16 bands × 4 rows; docs sharing any (band, bandHash) bucket are
-  * near-dup candidates. Candidate verification (exact Jaccard on the pair)
-  * happens only within buckets, so the shuffle is on (band, bandHash) —
-  * no quadratic cross join. Deterministic: splitmix64-seeded hashes.
+  * shingle (word 3-grams, 64-bit hashed) → 64 minhash values → 16 bands ×
+  * 4 rows; docs sharing any (band, bandHash) bucket are near-dup
+  * candidates. Verification never ships full texts per candidate pair:
+  *
+  *  1. exact clones collapse to one representative first (hash groupBy —
+  *     a 10^6-copy boilerplate page costs one group, not 10^12 pairs in
+  *     the LSH join),
+  *  2. candidate pairs are prescreened on their minhash SIGNATURES
+  *     (512 B each, already computed) — the estimated Jaccard is an
+  *     unbiased binomial estimate of the true one, so a loose margin
+  *     below the threshold keeps essentially all true positives,
+  *  3. only surviving pairs fetch the two texts for exact shingle-Jaccard,
+  *  4. clone groups expand back through the representative pairs.
+  *
+  * Deterministic throughout: splitmix64-seeded hashes, FNV-1a shingle
+  * hashing (full 64-bit space — 32-bit `String.hashCode` saturates at web
+  * scale and inflates Jaccard estimates).
   */
 object MinHashLsh {
 
@@ -27,10 +40,24 @@ object MinHashLsh {
     z ^ (z >>> 31)
   }
 
+  /** FNV-1a over UTF-16 code units, finalized with splitmix64 — a true
+    * 64-bit shingle space.
+    */
+  @inline private def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
   def shingles(text: String, k: Int = 3): Iterator[Long] = {
     val toks = PyStr.split(PyStr.lower(text))
-    if (toks.length < k) Iterator(mix64(toks.mkString(" ").hashCode.toLong))
-    else toks.sliding(k).map(w => mix64(w.mkString(" ").hashCode.toLong))
+    if (toks.length < k) Iterator(hash64(toks.mkString(" ")))
+    else toks.sliding(k).map(w => hash64(w.mkString(" ")))
   }
 
   def signature(text: String): Array[Long] = {
@@ -46,8 +73,20 @@ object MinHashLsh {
     sig
   }
 
-  def bandRows(docId: Long, text: String): Seq[BandRow] = {
-    val sig = signature(text)
+  /** Fraction of agreeing minhash components — the unbiased estimator of
+    * Jaccard similarity.
+    */
+  def estimateJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < NumHashes) {
+      if (a(i) == b(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / NumHashes
+  }
+
+  def bandRowsFromSignature(docId: Long, sig: Array[Long]): Seq[BandRow] =
     (0 until Bands).map { b =>
       var h = 1125899906842597L
       var r = 0
@@ -57,7 +96,9 @@ object MinHashLsh {
       }
       BandRow(docId, b, h)
     }
-  }
+
+  def bandRows(docId: Long, text: String): Seq[BandRow] =
+    bandRowsFromSignature(docId, signature(text))
 
   /** (doc, band, bandHash) rows — group by (band, band_hash) downstream for
     * candidate pairs.
@@ -68,32 +109,101 @@ object MinHashLsh {
     docs.flatMap { case (id, text) => bandRows(id, text) }
   }
 
-  /** Full near-duplicate detection: LSH candidate generation (shuffle on
-    * (band, band_hash) buckets — never a cross join) followed by exact
-    * shingle-Jaccard verification of each candidate pair. Returns pairs
-    * (a < b) with jaccard ≥ threshold.
+  /** Full near-duplicate detection. Returns pairs (a, b, jaccard) with
+    * a < b and exact shingle-Jaccard ≥ threshold.
+    *
+    * @param sigMargin  how far below `threshold` the signature ESTIMATE may
+    *                   fall before the pair is dropped unverified. 64
+    *                   hashes give the estimate a binomial sd of
+    *                   ≈ sqrt(j(1-j)/64) ≤ 0.0625; the default 3σ margin
+    *                   keeps ≥99.8% of true borderline pairs while
+    *                   filtering the bulk of sub-threshold candidates
+    *                   before any text is shuffled.
+    * @param bandBucketCap drop band buckets larger than this many DISTINCT
+    *                   texts (exact clones are already collapsed, so a hit
+    *                   means >cap genuinely-different texts collide in one
+    *                   band — overwhelmingly boilerplate; capped buckets
+    *                   are counted in the other 15 bands anyway).
     */
   def nearDuplicatePairs(
       docs: Dataset[(Long, String)],
-      threshold: Double = 0.8): Dataset[(Long, Long, Double)] = {
+      threshold: Double = 0.8,
+      sigMargin: Double = 0.19,
+      bandBucketCap: Int = 100000): Dataset[(Long, Long, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val b = bands(docs).toDF("id", "band", "band_hash")
-    val candidates = b.as("x").join(b.as("y"),
+
+    // 1. collapse exact clones: one representative (min id) per text hash
+    val hashed = docs.map { case (id, text) => (id, hash64(text), text) }
+      .toDF("id", "h", "rep_text")
+    val reps = hashed.groupBy("h").agg(min("id").as("rep"))
+    val groups = hashed.join(reps, "h").select(col("id"), col("rep")).cache()
+    val repDocs = hashed.join(reps, hashed("id") === reps("rep"))
+      .select(col("id"), col("rep_text").as("text"))
+      .as[(Long, String)]
+
+    // clone-internal pairs: identical texts are near-dups at jaccard 1.0
+    // (enumerating them is inherent to the output, not to any shuffle —
+    // only ids move, never texts)
+    val clonePairs = groups.as[(Long, Long)].groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray.sorted
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j), 1.0)
+      }
+
+    // 2. LSH candidates over representatives, signatures computed ONCE
+    val sigs = repDocs.map { case (id, text) => (id, signature(text)) }
+      .toDF("id", "sig").cache()
+    val b = sigs.as[(Long, Array[Long])]
+      .flatMap { case (id, sig) => bandRowsFromSignature(id, sig) }
+      .toDF("id", "band", "band_hash")
+    val bucketSizes = b.groupBy("band", "band_hash").agg(count(lit(1)).as("bn"))
+    val bCapped = b.join(bucketSizes, Seq("band", "band_hash"))
+      .filter(col("bn") <= bandBucketCap)
+      .select("id", "band", "band_hash")
+    val candidates = bCapped.as("x").join(bCapped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    val texts = docs.toDF("id", "text")
-    candidates
+
+    // 3. signature prescreen: joins ship 512 B signatures, never texts
+    val prescreened = candidates
+      .join(sigs.withColumnRenamed("id", "a").withColumnRenamed("sig", "sa"), "a")
+      .join(sigs.withColumnRenamed("id", "b").withColumnRenamed("sig", "sb"), "b")
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (aId, bId, sa, sb) => (aId, bId, estimateJaccard(sa, sb)) }
+      .toDF("a", "b", "est")
+      .filter(col("est") >= threshold - sigMargin)
+      .select("a", "b")
+
+    // 4. exact verification on the few survivors only
+    val texts = repDocs.toDF("id", "text")
+    val repPairs = prescreened
       .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), "a")
       .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), "b")
       .select(col("a"), col("b"), col("ta"), col("tb"))
       .as[(Long, Long, String, String)]
       .map { case (aId, bId, ta, tb) => (aId, bId, jaccard(ta, tb)) }
       .filter(_._3 >= threshold)
+      .toDF("ra", "rb", "j")
+
+    // 5. expand representative pairs back through their clone groups
+    val expanded = repPairs
+      .join(groups.withColumnRenamed("rep", "ra").withColumnRenamed("id", "ea"), "ra")
+      .join(groups.withColumnRenamed("rep", "rb").withColumnRenamed("id", "eb"), "rb")
+      .select(
+        least(col("ea"), col("eb")).as("a"),
+        greatest(col("ea"), col("eb")).as("b"),
+        col("j"))
+      .as[(Long, Long, Double)]
+
+    expanded.union(clonePairs)
   }
 
   /** Exact word-shingle Jaccard for candidate verification. */

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * bucket; exact cosine reranks within buckets. The shuffle is on bucket
   * keys (tables × |docs| rows), never the |docs|² cross join the
   * brute-force baseline needs. Deterministic hyperplanes via splitmix64.
+  *
+  * Hot-bucket bound: a skewed bucket (duplicate-heavy corpora, a dense
+  * cluster) used to land in ONE task as an unbounded in-memory array.
+  * [[boundedPairSims]] sub-shards every bucket above `bucketCap` members
+  * by id-hash and replicates probes across the shards — per-task member
+  * arrays stay ≤ ~cap while probes STREAM through the cogroup iterator,
+  * so task memory is bounded no matter how hot the bucket.
   */
 object Ann {
 
@@ -56,33 +63,88 @@ object Ann {
     s
   }
 
+  /** Exact pair similarities inside buckets, with hot buckets sub-sharded
+    * to a bounded per-task size.
+    *
+    * members/probes: (key, id, vec). Every probe is evaluated against every
+    * member of its key — sharding is transparent to the result (a probe is
+    * replicated to all of its bucket's shards), it only bounds task memory:
+    * the member side is materialized per (key, shard) group (≤ ~cap rows),
+    * the probe side streams. Returns (qid, nid, sim) with self-pairs
+    * dropped and duplicates (same pair via several buckets) removed.
+    */
+  private def shardsCol(cap: Int) =
+    greatest(ceil(col("n") / cap), lit(1)).cast("int")
+
+  /** Members with their (key, shard) assignment — shard count grows with
+    * bucket size so per-shard membership stays ≈ cap. Exposed for the
+    * boundedness test.
+    */
+  def shardAssignments(
+      members: Dataset[(Long, Long, Array[Float])],
+      cap: Int): DataFrame = {
+    val sizes = members.toDF("key", "id", "vec")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    members.toDF("key", "id", "vec")
+      .join(sizes, "key")
+      .select(col("key"),
+        pmod(xxhash64(col("id")), shardsCol(cap)).cast("int").as("shard"),
+        col("id"), col("vec"))
+  }
+
+  def boundedPairSims(
+      members: Dataset[(Long, Long, Array[Float])],
+      probes: Dataset[(Long, Long, Array[Float])],
+      cap: Int): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    val sizes = members.toDF("key", "id", "vec")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val m = shardAssignments(members, cap)
+      .as[(Long, Int, Long, Array[Float])]
+    val p = probes.toDF("key", "id", "vec")
+      .join(sizes, "key")
+      .select(col("key"), shardsCol(cap).as("shards"), col("id"), col("vec"))
+      .as[(Long, Int, Long, Array[Float])]
+      .flatMap { case (key, shards, id, vec) =>
+        (0 until shards).iterator.map(sh => (key, sh, id, vec))
+      }
+    p.groupByKey(r => (r._1, r._2))
+      .cogroup(m.groupByKey(r => (r._1, r._2))) { (_, ps, ms) =>
+        val mem = ms.map(t => (t._3, t._4)).toArray // bounded by ~cap
+        ps.flatMap { case (_, _, qid, qv) =>
+          mem.iterator.collect {
+            case (nid, nv) if nid != qid =>
+              (qid, nid, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5)
+          }
+        }
+      }
+      .toDF("qid", "nid", "sim").dropDuplicates("qid", "nid")
+  }
+
+  private def topK(sims: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** LSH-bucketed approximate top-k cosine neighbors for every vector.
     * Output: (qid, nid, sim, rk). Recall improves with more tables /
-    * fewer bits (bigger buckets).
+    * fewer bits (bigger buckets); `bucketCap` bounds per-task memory on
+    * hot buckets without changing results.
     */
   def lshTopK(
       vectors: Dataset[(Long, Array[Float])],
       k: Int = 5,
       tables: Int = 8,
-      bits: Int = 10): DataFrame = {
+      bits: Int = 10,
+      bucketCap: Int = 4096): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // group by bucket and pair inside it: each vector crosses the shuffle
-    // once per table, not once per candidate pair
-    val buckets = vectors.flatMap { case (id, v) =>
-      (0 until tables).map(t => ((t.toLong << 48) ^ (signature(v, t, bits) & 0xffffffffffffL), id, v))
-    }.groupByKey(_._1)
-    val simed = buckets.flatMapGroups { (_, it) =>
-      val members = it.map(t => (t._2, t._3)).toArray
-      for {
-        i <- members.indices.iterator
-        j <- members.indices.iterator
-        if members(i)._1 != members(j)._1
-      } yield (members(i)._1, members(j)._1,
-        math.floor(dot(members(i)._2, members(j)._2) * 1e5 + 0.5) / 1e5)
-    }.toDF("qid", "nid", "sim").dropDuplicates("qid", "nid")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    simed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val keyed = vectors.flatMap { case (id, v) =>
+      (0 until tables).iterator.map(t =>
+        ((t.toLong << 48) ^ (signature(v, t, bits) & 0xffffffffffffL), id, v))
+    }
+    topK(boundedPairSims(keyed, keyed, bucketCap), k)
   }
 
   /** Deterministic k-means coarse quantizer trained on a driver-side
@@ -137,35 +199,24 @@ object Ann {
   /** IVF approximate top-k: assign vectors to their nearest centroid cell,
     * probe each query's `nprobe` closest cells, exact-rerank inside. The
     * shuffle is the (cell) bucket join — |docs| × nprobe rows, no cross
-    * join. Complements [[lshTopK]] as the second scale path.
+    * join; hot cells are sub-sharded to `bucketCap` like the LSH path.
     */
   def ivfTopK(
       vectors: Dataset[(Long, Array[Float])],
       k: Int = 5,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      bucketCap: Int = 4096): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cents = spark.sparkContext.broadcast(trainCentroids(vectors, nlist))
-    // cogroup by cell: every vector crosses the shuffle once per probed
-    // cell, not once per candidate pair (pairs never carry arrays)
     val assigned = vectors.map { case (id, v) =>
-      (nearestCentroid(v, cents.value), id, v)
-    }.groupByKey(_._1)
+      (nearestCentroid(v, cents.value).toLong, id, v)
+    }
     val probes = vectors.flatMap { case (id, v) =>
-      topCentroids(v, cents.value, nprobe).map(c => (c, id, v))
-    }.groupByKey(_._1)
-    val sims = probes.cogroup(assigned) { (_, qs, ns) =>
-      val members = ns.map(t => (t._2, t._3)).toArray
-      qs.flatMap { case (_, qid, qv) =>
-        members.iterator.collect {
-          case (nid, nv) if nid != qid =>
-            (qid, nid, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5)
-        }
-      }
-    }.toDF("qid", "nid", "sim").dropDuplicates("qid", "nid")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      topCentroids(v, cents.value, nprobe).iterator.map(c => (c.toLong, id, v))
+    }
+    topK(boundedPairSims(assigned, probes, bucketCap), k)
   }
 
   /** Brute-force exact top-k (the baseline; |q|×|n| via broadcast). */
@@ -182,7 +233,6 @@ object Ann {
       .map { case (qid, qv, nid, nv) =>
         (qid, nid, math.floor(dot(qv, nv) * 1e5 + 0.5) / 1e5)
       }.toDF("qid", "nid", "sim")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(pairs, k)
   }
 }

@@ -262,6 +262,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 }, s"false pairs: $pairs")
   }
 
+  test("near-dup survives a 1k-clone boilerplate corpus (no text pair-shipping)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val boiler = ("the same boilerplate footer page content mirrored " +
+      "across many hosts with identical wording throughout ") * 3
+    val alt = boiler.replace("identical wording", "slightly altered wording")
+    val far = "completely different text about unrelated topics entirely " * 4
+    val docs = ((0 until 1000).map(i => (i.toLong, boiler)) ++
+      Seq((2000L, alt), (3000L, far))).toDS()
+    val pairs = MinHashLsh.nearDuplicatePairs(docs, threshold = 0.5)
+      .toDF("a", "b", "j").cache()
+    // 1000 identical docs → C(1000,2) clone pairs at jaccard 1.0 — output
+    // size is inherent; the point is the job completes without one task
+    // holding 1000 texts × 499500 pairs
+    assert(pairs.filter(col("j") === 1.0).count() == 499500L)
+    // the altered doc pairs with every clone through the representative
+    val altPairs = pairs.filter(col("b") === 2000L)
+    assert(altPairs.count() == 1000L)
+    val j = altPairs.select("j").as[Double].head()
+    assert(j >= 0.5 && j < 1.0, s"altered-doc jaccard $j out of range")
+    // the unrelated doc pairs with nothing
+    assert(pairs.filter(col("a") === 3000L || col("b") === 3000L).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("signature estimate tracks exact jaccard within the 3-sigma margin") {
+    val base = Vector.tabulate(120)(i => s"tok$i").mkString(" ")
+    (1 to 5).foreach { v =>
+      val mutated = base.split(" ").zipWithIndex
+        .map { case (t, i) => if (i % (3 + v) == 0) s"mut${v}_$i" else t }
+        .mkString(" ")
+      val exact = MinHashLsh.jaccard(base, mutated)
+      val est = MinHashLsh.estimateJaccard(
+        MinHashLsh.signature(base), MinHashLsh.signature(mutated))
+      val sigma = math.sqrt(exact * (1 - exact) / MinHashLsh.NumHashes)
+      assert(math.abs(est - exact) <= 3 * sigma + 0.02,
+        f"estimate $est%.3f too far from exact $exact%.3f")
+    }
+  }
+
   test("simhash hamming distance separates near from far") {
     val a = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta theta")
     val b = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta iota")

@@ -56,6 +56,71 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(out(doc0.url) == doc0.warc_ts.getTime + 86400000L)
   }
 
+  /** Deterministic clustered unit vectors — the realistic embedding shape
+    * (documents cluster by topic), where the ≥0.9 recall gate must hold.
+    */
+  private def clusteredVecs(nClusters: Int, perCluster: Int, dim: Int = 32) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long, scale: Double): Array[Double] =
+      Array.tabulate(dim)(d => (mix(seed * 131 + d).toDouble / Long.MaxValue) * scale)
+    for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val center = unit(c.toLong + 1, 1.0)
+      val noise = unit((c * perCluster + m).toLong + 7919, 0.25)
+      val raw = Array.tabulate(dim)(d => center(d) + noise(d))
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      ((c * perCluster + m).toLong, raw.map(x => (x / norm).toFloat))
+    }
+  }
+
+  test("ann recall gate: >=0.9 on clustered embeddings for LSH and IVF") {
+    import spark.implicits._
+    val vecs = clusteredVecs(nClusters = 30, perCluster = 20).toDS().cache()
+    val k = 5
+    val exact = Ann.bruteTopK(vecs, _ < 100, k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(vecs, k = k, tables = 12, bits = 8)
+      .filter(org.apache.spark.sql.functions.col("qid") < 100)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    info(f"clustered lsh recall@$k = $lshRecall%.3f")
+    assert(lshRecall >= 0.9, f"lsh recall $lshRecall%.3f below the 0.9 gate")
+    val ivf = Ann.ivfTopK(vecs, k = k, nlist = 16, nprobe = 6)
+      .filter(org.apache.spark.sql.functions.col("qid") < 100)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"clustered ivf recall@$k = $ivfRecall%.3f")
+    assert(ivfRecall >= 0.9, f"ivf recall $ivfRecall%.3f below the 0.9 gate")
+    vecs.unpersist()
+  }
+
+  test("hot buckets are sub-sharded: bounded groups, identical results") {
+    import spark.implicits._
+    // every vector in ONE bucket (identical signatures): the old code's
+    // single-task group; with cap=16 the members split into ~n/16 shards
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(1.0f))).toDS()
+    val keyed = vecs.flatMap { case (id, v) => Iterator((42L, id, v)) }
+    val assigned = Ann.shardAssignments(keyed, cap = 16)
+      .groupBy("key", "shard").count()
+      .as[(Long, Int, Long)].collect()
+    assert(assigned.length > 4, "hot bucket was not sub-sharded")
+    assert(assigned.map(_._3).max <= 48, // hash-balanced around 16
+      s"shard blew past the cap: ${assigned.map(_._3).max}")
+    // sharding must be invisible in the results
+    val capped = Ann.lshTopK(vecs, k = 3, tables = 2, bits = 4, bucketCap = 16)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().toSet
+    val uncapped = Ann.lshTopK(vecs, k = 3, tables = 2, bits = 4, bucketCap = 1 << 20)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped)
+  }
+
   test("lsh ann reaches usable recall vs brute force on real embeddings") {
     import spark.implicits._
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
