@@ -521,7 +521,31 @@ object SparkEntry {
 
     // ---------- S7: SPARQL template export ----------
     "q56_sparql_templates" -> ((s, _) =>
-      graft.io.Exports.sparqlTemplates(Materialize.triples(s))))
+      graft.io.Exports.sparqlTemplates(Materialize.triples(s))),
+
+    // ---------- A11: corpus reduction summary ----------
+    "q58_reduction_summary" -> ((s, d) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), regexp_replace(col("text"), "table", "table\\.").as("text"))
+        .as[(Long, String)]
+      graft.text.Truncate.reductionSummary(docs, maxChars = 200)
+    }),
+
+    // ---------- multimodal: decode → nearest-neighbor resize → re-decode ----------
+    "q59_image_resize" -> ((s, d) => {
+      import s.implicits._
+      System.setProperty("java.awt.headless", "true")
+      val media = s.read.parquet(t(d, "documents")).select(col("doc_id")).as[Long]
+        .map { id =>
+          val png = graft.multimodal.BinaryFeatures.syntheticPng(
+            (id % 31 + 1).toInt, (id % 17 + 1).toInt, (id % 251).toInt)
+          (id, graft.multimodal.BinaryFeatures.resizeNearest(
+            png, (id % 7 + 1).toInt, (id % 5 + 1).toInt))
+        }
+      graft.multimodal.BinaryFeatures.extract(media).toDF()
+        .select("doc_id", "kind", "width", "height", "n_frames", "mean_byte")
+    }))
 
   // ----------------------------------------------------------------
   // oracle-SQL helpers for the materialized KG (Materialize.Root)
@@ -930,5 +954,38 @@ object SparkEntry {
       s"""SELECT DISTINCT docId,
          |  '# SPARQL Query Templates for ' || docId || ${sqlLit(rest)} AS sparql
          |FROM ${mat("triples")}""".stripMargin
-    })
+    },
+    "q58_reduction_summary" ->
+      """WITH t0 AS (SELECT doc_id, replace(text, 'table', 'table.') AS text FROM documents),
+        |tr AS (SELECT doc_id, text, substr(text, 1, 200) AS cut, length(text) AS n FROM t0),
+        |idx AS (SELECT doc_id, n,
+        |  greatest(
+        |    CASE WHEN strpos(reverse(cut), '.') = 0 THEN -1
+        |         ELSE length(cut) - strpos(reverse(cut), '.') END,
+        |    CASE WHEN strpos(reverse(cut), '!') = 0 THEN -1
+        |         ELSE length(cut) - strpos(reverse(cut), '!') END,
+        |    CASE WHEN strpos(reverse(cut), '?') = 0 THEN -1
+        |         ELSE length(cut) - strpos(reverse(cut), '?') END) AS last_end
+        |  FROM tr),
+        |fl AS (SELECT doc_id, n,
+        |  CASE WHEN n <= 200 THEN n
+        |       WHEN last_end > 160.0 THEN last_end + 1
+        |       ELSE 200 END AS fin,
+        |  CASE WHEN n > 200 THEN 1 ELSE 0 END AS trunc
+        |  FROM idx)
+        |SELECT count(*) AS total_files,
+        |  CAST(sum(n) AS BIGINT) AS total_original_chars,
+        |  CAST(sum(fin) AS BIGINT) AS total_final_chars,
+        |  floor((1.0 - CAST(sum(fin) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) * 100 * 10 + 0.5) / 10
+        |    AS total_reduction_percent,
+        |  CAST(sum(trunc) AS BIGINT) AS files_truncated,
+        |  CAST(count(*) - sum(trunc) AS BIGINT) AS files_kept_original
+        |FROM fl""".stripMargin,
+    "q59_image_resize" ->
+      """SELECT doc_id, 'image' AS kind,
+        | CAST(doc_id % 7 + 1 AS INT) AS width,
+        | CAST(doc_id % 5 + 1 AS INT) AS height,
+        | CAST(1 AS INT) AS n_frames,
+        | CAST(doc_id % 251 AS DOUBLE) AS mean_byte
+        |FROM documents""".stripMargin)
 }

@@ -95,6 +95,38 @@ object BinaryFeatures {
     out.toByteArray
   }
 
+  /** Deterministic nearest-neighbor image resize: decode, sample the
+    * source raster at floor-scaled coordinates, re-encode as PNG. Manual
+    * raster sampling (not Graphics2D) so the result is bit-exact across
+    * JVMs/render pipelines. Non-image payloads pass through unchanged.
+    */
+  def resizeNearest(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) bytes
+    else {
+      val out = new java.awt.image.BufferedImage(
+        newW, newH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val src = img.getRaster
+      val dst = out.getRaster
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * img.getHeight / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * img.getWidth / newW).toInt
+          dst.setSample(x, y, 0, src.getSample(sx, sy, 0))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+  }
+
   /** Batched feature extraction over (id, payload) binary rows — the
     * Scala analogue of a pandas-UDF `mapInPandas` stage: per-partition
     * batching, columnar-friendly output schema, no driver involvement.

@@ -302,6 +302,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("real image decode and nearest-neighbor resize round-trip") {
+    import graft.multimodal.BinaryFeatures
+    System.setProperty("java.awt.headless", "true")
+    // constant-gray PNG: decode returns genuine dims + exact mean
+    val png = BinaryFeatures.syntheticPng(12, 7, 99)
+    val f = BinaryFeatures.decode(5L, png)
+    assert((f.kind, f.width, f.height, f.n_frames, f.mean_byte) ==
+      ("image", 12, 7, 1, 99.0))
+    // resize keeps content (constant image) at the new dims
+    val r = BinaryFeatures.decode(5L, BinaryFeatures.resizeNearest(png, 5, 3))
+    assert((r.width, r.height, r.mean_byte) == (5, 3, 99.0))
+    // gradient image: nearest-neighbor picks floor-scaled source pixels
+    val img = new java.awt.image.BufferedImage(
+      4, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 4).foreach(x => img.getRaster.setSample(x, 0, 0, x * 10))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val half = BinaryFeatures.decode(1L, BinaryFeatures.resizeNearest(baos.toByteArray, 2, 1))
+    assert(half.mean_byte == 10.0) // pixels (0, 20) → mean 10
+    // non-image payloads fall back to the documented stub
+    assert(BinaryFeatures.decode(7L, "not an image".getBytes).kind == "stub")
+  }
+
+  test("A11 reduction summary matches the reference's summary fields") {
+    import spark.implicits._
+    import graft.text.Truncate
+    val docs = Seq(
+      (1L, "short doc."), // kept
+      (2L, ("x" * 90) + ". " + ("y" * 200)), // truncated at the sentence → 91
+      (3L, "z" * 300)) // hard cut + ellipsis → 100
+      .toDS()
+    val row = Truncate.reductionSummary(docs, maxChars = 100).collect().head
+    assert(row.getLong(0) == 3) // total_files
+    assert(row.getLong(1) == 10 + 292 + 300) // total_original_chars
+    assert(row.getLong(2) == 10 + 91 + 100) // total_final_chars
+    // (1 - 201/602)*100 = 66.611... → 66.6
+    assert(row.getDouble(3) == 66.6)
+    assert(row.getLong(4) == 2 && row.getLong(5) == 1)
+  }
+
   test("simhash hamming distance separates near from far") {
     val a = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta theta")
     val b = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta iota")

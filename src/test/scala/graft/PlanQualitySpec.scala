@@ -50,6 +50,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("MapElements"), "fell back to Dataset.map")
   }
 
+  test("simhash64 generated code actually COMPILES (no silent janino fallback)") {
+    // a WholeStageCodegen span in the plan is necessary but not
+    // sufficient: janino compile errors fall back to interpreted mode at
+    // runtime with only a warning (round 1 shipped exactly that bug —
+    // the object's static forwarder was shadowed). Disable the fallback
+    // and force execution: a codegen failure now throws.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = graft.SparkEntry.queries("q24_simhash")(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("triple store prunes partitions on the bucket column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_prune").toString

@@ -61,6 +61,11 @@ class RawTextGoldenSpec extends AnyFunSuite {
     assert(agreement >= 0.70, f"agreement $agreement%.3f below floor")
   }
 
+  // NOTE: this is IN-CORPUS RESUBSTITUTION accuracy — alias_candidates.tsv
+  // and uri_profiles.tsv were mined from the same golden corpus measured
+  // here, so the absolute numbers are optimistic relative to unseen
+  // documents. The test's claim is the RELATIVE lift of context-cosine
+  // over last-write-wins under identical conditions, not generalization.
   test("context disambiguation beats last-write-wins on golden URI choice") {
     import graft.link.Disambiguator
     var baseHit = 0L; var disHit = 0L; var total = 0L
