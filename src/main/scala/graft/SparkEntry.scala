@@ -987,5 +987,40 @@ object SparkEntry {
         | CAST(doc_id % 5 + 1 AS INT) AS height,
         | CAST(1 AS INT) AS n_frames,
         | CAST(doc_id % 251 AS DOUBLE) AS mean_byte
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // profile hit-counts share the denominator, so the first-max
+    // tie-break compares counts directly (en ≥ later profiles wins)
+    "q27_langid" -> {
+      val profs = Map(
+        "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "was",
+          "for", "it", "with", "as", "his", "her", "on", "at", "by", "an", "be",
+          "this", "which", "or", "from", "but", "not", "are", "were", "he", "she"),
+        "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+          "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
+          "als", "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie"),
+        "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du",
+          "dans", "est", "pour", "qui", "que", "sur", "se", "pas", "plus", "par",
+          "avec", "son", "au", "il", "elle", "ne", "ce", "mais", "ou", "sont"),
+        "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una", "del",
+          "que", "es", "por", "con", "para", "su", "se", "no", "como", "más",
+          "pero", "sus", "le", "fue", "al", "lo", "son", "entre", "está", "también"))
+      def hits(lang: String) =
+        s"len(list_filter(toks, t -> list_contains([${profs(lang).map(w => s"'$w'").mkString(",")}], t))) AS $lang"
+      s"""WITH s AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id, len(toks) AS n,
+         |  ${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}
+         |  FROM s)
+         |SELECT doc_id,
+         |  CASE WHEN n = 0 OR greatest(en, de, fr, es) = 0 THEN 'und'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred,
+         |  CASE WHEN n = 0 THEN 0.0
+         |       ELSE floor(CAST(greatest(en, de, fr, es) AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |       END AS score
+         |FROM sc""".stripMargin
+    })
 }

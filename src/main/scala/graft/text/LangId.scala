@@ -39,6 +39,7 @@ object LangId {
         bestLang = lang
       }
     }
-    (bestLang, math.rint(bestScore * 1e6) / 1e6)
+    // floor(x*k+0.5): half-up, mirrorable exactly in engine-portable SQL
+    (bestLang, math.floor(bestScore * 1e6 + 0.5) / 1e6)
   }
 }
