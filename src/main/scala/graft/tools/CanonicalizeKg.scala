@@ -47,8 +47,10 @@ object CanonicalizeKg {
 
     val t0 = System.nanoTime()
     val canon = Canonicalize.canonicalize(triples, mentionUri)
-    TripleStore.write(canon, out)
-    val n = spark.read.parquet(out).count()
+    // same store layout as BuildKg ($out/data/bucket=*) so ExportKg and
+    // TripleStore.read chain off either stage interchangeably
+    TripleStore.write(canon, s"$out/data")
+    val n = spark.read.parquet(s"$out/data").count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"canonicalize_kg: triples=$n seconds=$secs%.2f")
     spark.stop()

@@ -9,8 +9,12 @@ import graft.model.Triple
   * sink formats (S6–S8).
   *
   * Usage: ExportKg --store /path/from/BuildKg --out /path/exports
+  *        [--evals /path/evals.parquet]
   * Writes: ttl/ (custom TTL lines), queryable_ttl/, triples_csv/,
-  * edges_csv/, rag_json/, predicate_histogram/, entity_index/, top_degree/.
+  * edges_csv/, rag_json/, sparql_templates/, node_categories/,
+  * predicate_histogram/, entity_index/, top_degree/. With --evals
+  * (docId, idx, eval_triple, confidence, source_sentence, extractable),
+  * triples_csv carries the J3 fuzzy-join enrichment instead of defaults.
   */
 object ExportKg {
   def main(args: Array[String]): Unit = {
@@ -35,18 +39,29 @@ object ExportKg {
 
     Exports.customTtl(triples).write.mode(SaveMode.Overwrite).text(s"$out/ttl")
     Exports.queryableTtl(triples).write.mode(SaveMode.Overwrite).text(s"$out/queryable_ttl")
-    Exports.triplesCsv(triples).write.mode(SaveMode.Overwrite)
+    val csv = opts.get("--evals") match {
+      case Some(evalsPath) =>
+        val evals = spark.read.parquet(evalsPath).as[Exports.EvalRow]
+        Exports.enrichedTriples(triples, evals)
+          .drop("docId") // reference CSV shape has no doc column
+      case None => Exports.triplesCsv(triples)
+    }
+    csv.write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$out/triples_csv")
     Exports.edgesCsv(triples).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$out/edges_csv")
     Exports.ragJson(triples).write.mode(SaveMode.Overwrite).json(s"$out/rag_json")
+    Exports.sparqlTemplates(triples).write.mode(SaveMode.Overwrite)
+      .json(s"$out/sparql_templates")
+    Exports.categorizeNodes(triples).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$out/node_categories")
     Exports.predicateHistogram(triples).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$out/predicate_histogram")
     Exports.entityIndex(triples).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$out/entity_index")
     Exports.topKByDegree(triples, 30).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$out/top_degree")
-    println(s"export_kg: wrote 8 sinks under $out")
+    println(s"export_kg: wrote 10 sinks under $out")
     spark.stop()
   }
 }

@@ -64,6 +64,20 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("re-parse-derived exports stay narrow (zero exchanges)") {
+    val p = plan("q37_edges_export")
+    assert(!p.contains("Exchange"), s"export path picked up a shuffle:\n$p")
+  }
+
+  test("J3 eval join cogroups with exactly one exchange per side") {
+    val p = plan("q55_eval_join")
+    assert(p.contains("CoGroup"), s"not a cogroup:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges (one per side), got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "eval join degenerated to a product")
+  }
+
   test("triple store prunes partitions on the bucket column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_prune").toString
