@@ -46,6 +46,42 @@ object TripleStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Iceberg-MERGE-style copy-on-write upsert: replace ALL existing
+    * triples of the given documents with `newTriples`, rewriting only the
+    * unit partitions those documents hash into. Two-hop commit (staging
+    * parquet, then dynamic partition overwrite of the main store) so the
+    * store is never read and overwritten in the same job; replays of the
+    * same batch (streaming checkpoint recovery) converge to the same
+    * bytes. Returns the affected units.
+    */
+  def upsertDocs(
+      newTriples: Dataset[Triple],
+      outDir: String,
+      units: Int = 16): Seq[Int] = {
+    val spark = newTriples.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val withUnit = newTriples.toDF().withColumn("unit", bucketOf(col("docId"), units))
+    val affected = withUnit.select("unit").distinct().as[Int].collect().toSeq.sorted
+    if (affected.isEmpty) return Seq.empty
+    val main = dataDir(outDir)
+    val staging = s"$outDir/_staging"
+    val docs = newTriples.toDF().select("docId").distinct()
+    val combined =
+      if (Files.exists(Paths.get(main)))
+        spark.read.parquet(main)
+          .filter(col("unit").isin(affected: _*))
+          .join(broadcast(docs), Seq("docId"), "left_anti")
+          .unionByName(withUnit)
+      else withUnit
+    combined
+      .repartition(col("unit")).sortWithinPartitions("subj", "pred", "obj")
+      .write.mode(SaveMode.Overwrite).partitionBy("unit").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode(SaveMode.Overwrite).partitionBy("unit").parquet(main)
+    affected
+  }
+
   // ------------------------------------------------------------------
   // Checkpointed (exact-resume) run
   // ------------------------------------------------------------------

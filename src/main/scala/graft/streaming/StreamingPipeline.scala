@@ -89,6 +89,37 @@ object StreamingPipeline {
       }
   }
 
+  /** Continuous KG maintenance: watch a pages directory, keep only the
+    * newest crawl per url (stateful, checkpointed across restarts), and
+    * MERGE each micro-batch's triples into the bucketed triple store —
+    * recrawled documents replace their previous triples in place
+    * (TripleStore.upsertDocs copy-on-write on the affected unit
+    * partitions), new documents append. AvailableNow trigger: each call
+    * drains what is new since the last checkpoint and terminates, the
+    * incremental-backfill pattern; swap the trigger for a continuous
+    * deployment.
+    */
+  def streamToStore(
+      spark: SparkSession,
+      dir: String,
+      storeDir: String,
+      units: Int = 16,
+      name: String = "graft_stream_to_store",
+      watermark: String = "1 hour"): Unit = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = latestVersionPerUrl(readPages(spark, dir), watermark)
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[PageRow], _: Long) =>
+        graft.io.TripleStore.upsertDocs(Pipeline.triples(batch), storeDir, units)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the stream synchronously over whatever is in `dir` (test/backfill
     * helper): memory sink, processAllAvailable, return the result table.
     */

@@ -56,6 +56,39 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(out(doc0.url) == doc0.warc_ts.getTime + 86400000L)
   }
 
+  test("streamToStore merges recrawls into the bucketed store in place") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pages_merge").toString
+    val store = Files.createTempDirectory("store_merge").toString
+    // batch 1: 10 original crawls
+    val b1 = SynthCorpus.pages(spark, 10, seed = 33L)
+    b1.write.mode("overwrite").parquet(s"$dir/b1")
+    StreamingPipeline.streamToStore(spark, s"$dir/b*", store, units = 4)
+    val after1 = spark.read.parquet(s"$store/data")
+      .select("docId", "subj", "frame", "pred", "obj")
+      .as[(String, String, String, String, String)].collect().toSet
+    val expect1 = Pipeline.triples(b1)
+      .map(t => (t.docId, t.subj, t.frame, t.pred, t.obj)).collect().toSet
+    assert(after1 == expect1)
+
+    // batch 2: recrawl of the same 10 urls with CHANGED text (1 day newer)
+    // plus 5 brand-new urls
+    val b2 = SynthCorpus.pages(spark, 15, seed = 33L).map(p =>
+      p.copy(
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 86400000L),
+        text = p.text + " Albert Camus wrote a celebrated novel in Paris."))
+    b2.write.mode("overwrite").parquet(s"$dir/b2")
+    StreamingPipeline.streamToStore(spark, s"$dir/b*", store, units = 4)
+    val after2 = spark.read.parquet(s"$store/data")
+      .select("docId", "subj", "frame", "pred", "obj")
+      .as[(String, String, String, String, String)].collect().toSet
+    val expect2 = Pipeline.triples(b2)
+      .map(t => (t.docId, t.subj, t.frame, t.pred, t.obj)).collect().toSet
+    // recrawled docs were REPLACED (old-only triples gone), new docs added
+    assert(after2 == expect2)
+    assert(after2 != after1)
+  }
+
   /** Deterministic clustered unit vectors — the realistic embedding shape
     * (documents cluster by topic), where the ≥0.9 recall gate must hold.
     */
