@@ -532,6 +532,23 @@ object SparkEntry {
       graft.text.Truncate.reductionSummary(docs, maxChars = 200)
     }),
 
+    // ---------- embedding-cosine near-dup pairs ----------
+    "q60_cosine_dup_exact" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      graft.similarity.Ann.cosineDupPairsExact(vecs, tau = 0.35)
+    }),
+    // the scale path: rows-only here (LSH candidate recall is inherent to
+    // the approximation); recall ≥0.9 gated on clustered embeddings in
+    // StreamingAnnSpec
+    "q61_cosine_dup_lsh" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      graft.similarity.Ann.cosineDupPairsLsh(vecs, tau = 0.35, tables = 16, bits = 5)
+    }),
+
     // ---------- multimodal: decode → nearest-neighbor resize → re-decode ----------
     "q59_image_resize" -> ((s, d) => {
       import s.implicits._
@@ -988,6 +1005,14 @@ object SparkEntry {
         | CAST(1 AS INT) AS n_frames,
         | CAST(doc_id % 251 AS DOUBLE) AS mean_byte
         |FROM documents""".stripMargin,
+    "q60_cosine_dup_exact" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a, b, sim FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    floor(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) * 100000 + 0.5) / 100000 AS sim
+        |  FROM e x, e y WHERE x.vec_id < y.vec_id)
+        |WHERE sim >= 0.35""".stripMargin,
     // profile hit-counts share the denominator, so the first-max
     // tie-break compares counts directly (en ≥ later profiles wins)
     "q27_langid" -> {

@@ -219,6 +219,47 @@ object Ann {
     topK(boundedPairSims(assigned, probes, bucketCap), k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (a < b) pair with
+    * dot ≥ tau. The |n|² broadcast product is the CORRECTNESS BASELINE for
+    * small n — [[cosineDupPairsLsh]] is the 100 TB path.
+    */
+  def cosineDupPairsExact(
+      vectors: Dataset[(Long, Array[Float])],
+      tau: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val a = vectors.toDF("a", "va")
+    val b = broadcast(vectors.toDF("b", "vb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (x, vx, y, vy) =>
+        (x, y, math.floor(dot(vx, vy) * 1e5 + 0.5) / 1e5)
+      }.toDF("a", "b", "sim")
+      .filter(col("sim") >= tau)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: LSH buckets generate
+    * candidates (shuffle on bucket keys, hot buckets sub-sharded — never a
+    * cross join), exact dot verifies. Same output shape as the exact
+    * baseline; recall gated ≥0.9 on clustered embeddings in tests.
+    */
+  def cosineDupPairsLsh(
+      vectors: Dataset[(Long, Array[Float])],
+      tau: Double,
+      tables: Int = 16,
+      bits: Int = 6,
+      bucketCap: Int = 4096): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val keyed = vectors.flatMap { case (id, v) =>
+      (0 until tables).iterator.map(t =>
+        ((t.toLong << 48) ^ (signature(v, t, bits) & 0xffffffffffffL), id, v))
+    }
+    boundedPairSims(keyed, keyed, bucketCap)
+      .filter(col("qid") < col("nid") && col("sim") >= tau)
+      .select(col("qid").as("a"), col("nid").as("b"), col("sim"))
+  }
+
   /** Brute-force exact top-k (the baseline; |q|×|n| via broadcast). */
   def bruteTopK(
       vectors: Dataset[(Long, Array[Float])],

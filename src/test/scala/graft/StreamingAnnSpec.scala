@@ -134,6 +134,23 @@ class StreamingAnnSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("embedding-cosine near-dup: LSH recall >=0.9 vs exact on clustered vecs") {
+    import spark.implicits._
+    val vecs = clusteredVecs(nClusters = 20, perCluster = 15).toDS().cache()
+    val tau = 0.9 // in-cluster sims sit well above, cross-cluster below
+    val exact = Ann.cosineDupPairsExact(vecs, tau)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val approx = Ann.cosineDupPairsLsh(vecs, tau, tables = 12, bits = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"cosine-dup recall@tau=$tau = $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.9, f"recall $recall%.3f below the 0.9 gate")
+    // LSH verifies with the exact dot, so no false positives
+    assert((approx -- exact).isEmpty)
+    vecs.unpersist()
+  }
+
   test("hot buckets are sub-sharded: bounded groups, identical results") {
     import spark.implicits._
     // every vector in ONE bucket (identical signatures): the old code's
