@@ -26,7 +26,12 @@ object Exports {
   def customTtl(triples: Dataset[Triple]): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
-    triples.map(_.ttlLine).toDF("line")
+    // project before the typed map so the parquet scan prunes to the four
+    // columns the line actually uses
+    triples.select("subj", "frame", "pred", "obj")
+      .as[(String, String, String, String)]
+      .map { case (s, f, p, o) => Triple.ttlLine(s, f, p, o) }
+      .toDF("line")
   }
 
   /** P6: re-parse a custom-TTL line into (subject, predicate, object) —
@@ -57,10 +62,11 @@ object Exports {
   def reparsed(triples: Dataset[Triple]): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
-    triples
-      .map(t => (t.docId, t.ttlLine))
-      .flatMap { case (d, l) =>
-        parseCustomTtlLine(l).map { case (s, p, o) => (d, s, p, o) }
+    triples.select("docId", "subj", "frame", "pred", "obj")
+      .as[(String, String, String, String, String)]
+      .flatMap { case (d, s0, f, p0, o0) =>
+        parseCustomTtlLine(Triple.ttlLine(s0, f, p0, o0))
+          .map { case (s, p, o) => (d, s, p, o) }
       }
       .toDF("docId", "subject", "predicate", "object")
   }

@@ -52,15 +52,23 @@ final case class Triple(
   def predUri: String = s"http://example.org/frame/$frame#$pred"
   def predShort: String = s"$frame:$pred"
 
-  /** One line of the custom TTL sink (rdfify_improved.py:961-981). Objects
+  /** One line of the custom TTL sink (rdfify_improved.py:961-981). */
+  def ttlLine: String = Triple.ttlLine(subj, frame, pred, obj)
+}
+
+object Triple {
+
+  /** Custom-TTL line from the four fields it actually uses — static so
+    * sink-side maps can project (and parquet scans prune) to exactly
+    * these columns instead of deserializing whole Triple rows. Objects
     * wrapped in double quotes are unwrapped to the text between the first
     * quote pair (rdfify_improved.py:973-975).
     */
-  def ttlLine: String = {
+  def ttlLine(subj: String, frame: String, pred: String, obj: String): String = {
     val o =
       if (obj.startsWith("\"") && obj.endsWith("\"")) obj.split("\"", -1)(1)
       else obj
-    s"$subj $predShort $o"
+    s"$subj $frame:$pred $o"
   }
 }
 

@@ -64,9 +64,14 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
-  test("re-parse-derived exports stay narrow (zero exchanges)") {
+  test("re-parse-derived exports stay narrow (zero exchanges) and prune columns") {
     val p = plan("q37_edges_export")
     assert(!p.contains("Exchange"), s"export path picked up a shuffle:\n$p")
+    // the sink uses 5 of the triple table's 8 columns — the scan must not
+    // read the other three
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("subjIsUri") && !readSchema.contains("role"),
+      s"scan reads pruned columns:\n$readSchema")
   }
 
   test("J3 eval join cogroups with exactly one exchange per side") {
