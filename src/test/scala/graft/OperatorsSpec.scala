@@ -41,6 +41,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("connected components: reliable-checkpoint path matches localCheckpoint") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val local = Canonicalize.connectedComponents(edges)
+      .as[(String, String)].collect().toSet
+    val reliable = Canonicalize.connectedComponents(edges, checkpointDir = Some(dir))
+      .as[(String, String)].collect().toSet
+    assert(reliable == local)
+    // the reliable path actually wrote checkpoint data
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("rewrite: shuffle-join path (no broadcast) matches the broadcast path") {
+    import spark.implicits._
+    val triples = Seq(
+      Triple("d1", "http://x/A2", true, "F", "R", "has_theme", "http://x/B", true),
+      Triple("d1", "http://x/C", true, "F", "R", "has_theme", "http://x/A2", true))
+      .toDS()
+    val mapping = Seq(("http://x/A2", "http://x/A")).toDF("node", "component")
+    val viaBroadcast = Canonicalize.rewrite(triples, mapping).collect().toSet
+    val viaShuffle = Canonicalize.rewrite(triples, mapping, broadcastMaxRows = 0L)
+      .collect().toSet
+    assert(viaShuffle == viaBroadcast)
+    assert(viaShuffle.forall(t => t.subj != "http://x/A2" && t.obj != "http://x/A2"))
+  }
+
+  test("upsertDocs is idempotent and replaces per-document triples in place") {
+    import spark.implicits._
+    import graft.io.TripleStore
+    val store = java.nio.file.Files.createTempDirectory("upsert").toString
+    val gen1 = Seq(
+      Triple("u1", "http://x/A", true, "F", "R", "has_theme", "old", false),
+      Triple("u2", "http://x/B", true, "F", "R", "has_theme", "keep", false)).toDS()
+    TripleStore.upsertDocs(gen1, store, units = 4)
+    // replay of the same batch (streaming checkpoint recovery) converges
+    TripleStore.upsertDocs(gen1, store, units = 4)
+    def rows() = spark.read.parquet(s"$store/data")
+      .select("docId", "obj").as[(String, String)].collect().toSet
+    assert(rows() == Set(("u1", "old"), ("u2", "keep")))
+    // recrawl of u1 replaces its triples; u2 untouched
+    val gen2 = Seq(
+      Triple("u1", "http://x/A", true, "F", "R", "has_theme", "new", false)).toDS()
+    TripleStore.upsertDocs(gen2, store, units = 4)
+    assert(rows() == Set(("u1", "new"), ("u2", "keep")))
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val df = Seq.tabulate(1000)(i => (i % 7, i.toDouble)).toDF("k", "v")
