@@ -523,6 +523,20 @@ object SparkEntry {
     "q56_sparql_templates" -> ((s, _) =>
       graft.io.Exports.sparqlTemplates(Materialize.triples(s))),
 
+    // ---------- SQL surface: the KG as temp views + spark.sql text ----------
+    "q62_sql_top_objects" -> ((s, _) => {
+      Materialize.triples(s).toDF().createOrReplaceTempView("kg_triples")
+      s.sql(
+        """SELECT frame, pred, obj, n, rk FROM (
+          |  SELECT frame, pred, obj, count(*) AS n,
+          |    row_number() OVER (PARTITION BY frame, pred
+          |      ORDER BY count(*) DESC, obj) AS rk
+          |  FROM kg_triples
+          |  WHERE objIsUri
+          |  GROUP BY frame, pred, obj)
+          |WHERE rk <= 3""".stripMargin)
+    }),
+
     // ---------- A11: corpus reduction summary ----------
     "q58_reduction_summary" -> ((s, d) => {
       import s.implicits._
@@ -1005,6 +1019,15 @@ object SparkEntry {
         | CAST(1 AS INT) AS n_frames,
         | CAST(doc_id % 251 AS DOUBLE) AS mean_byte
         |FROM documents""".stripMargin,
+    "q62_sql_top_objects" ->
+      s"""SELECT frame, pred, obj, n, rk FROM (
+         |  SELECT frame, pred, obj, count(*) AS n,
+         |    row_number() OVER (PARTITION BY frame, pred
+         |      ORDER BY count(*) DESC, obj) AS rk
+         |  FROM ${mat("triples")}
+         |  WHERE objIsUri
+         |  GROUP BY frame, pred, obj)
+         |WHERE rk <= 3""".stripMargin,
     "q60_cosine_dup_exact" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)
         |SELECT a, b, sim FROM (
