@@ -97,11 +97,13 @@ object Canonicalize {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
 
+    // seed with round 1 for free: every node starts at min(self, neighbors)
+    // — one groupBy instead of the loop's join+union+groupBy (bidir is
+    // symmetric, so every node appears on the src side)
     var labels = save(
-      bidir.select(col("src").as("node"))
-        .union(bidir.select(col("dst").as("node")))
-        .distinct()
-        .withColumn("component", col("node")))
+      bidir.select(col("src").as("node"), col("dst").as("component"))
+        .union(bidir.select(col("src").as("node"), col("src").as("component")))
+        .groupBy("node").agg(min("component").as("component")))
 
     var converged = false
     var iter = 0
