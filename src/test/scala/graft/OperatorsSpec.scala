@@ -123,6 +123,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Exports.entityIndex(ts).count() == 4)
   }
 
+  test("DataFrame sink columns equal the scalar reference functions corpus-wide") {
+    import spark.implicits._
+    // the Column-expression paths (queryableTtl, edgesCsv) must agree with
+    // the golden-gated scalar functions on every triple of a real corpus,
+    // not just the two shapes the unit test pins
+    val triples = graft.pipeline.Pipeline.triples(
+      graft.pipeline.SynthCorpus.pages(spark, 40)).cache()
+    val parsed = triples.collect().toVector
+      .flatMap(t => Exports.parseCustomTtlLine(t.ttlLine))
+    val viaDf = Exports.queryableTtl(triples).as[String].collect().toSet
+    val viaFn = parsed
+      .map { case (s, p, o) => Exports.queryableLineFromParsed(s, p, o) }.toSet
+    assert(viaDf == viaFn)
+    val edgesDf = Exports.edgesCsv(triples)
+      .as[(String, String, String, String)].collect().toSet
+    def cleanNode(n0: String): String = {
+      val n = n0.replaceAll("^[\"']+|[\"']+$", "")
+      if (n.startsWith("http://") || n.startsWith("https://")) n
+      else n.replaceAll("[<>{}\\[\\]()]", "")
+    }
+    val edgesFn = parsed.map { case (s, p, o) =>
+      val base = if (p.contains(":")) p.substring(p.lastIndexOf(':') + 1) else p
+      val label0 = base.replace("_", " ").replace("#", "")
+      val label = if (label0.length > 20) label0.take(17) + "..." else label0
+      val frame = if (p.contains(":")) p.split(":")(0) else p
+      (cleanNode(s), cleanNode(o), label, frame)
+    }.toSet
+    assert(edgesDf == edgesFn)
+    triples.unpersist()
+  }
+
   test("F12 categorization mirrors the reference keyword cascades") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
