@@ -523,6 +523,14 @@ object SparkEntry {
     "q56_sparql_templates" -> ((s, _) =>
       graft.io.Exports.sparqlTemplates(Materialize.triples(s))),
 
+    // ---------- source adapter: JSON-lines pages → identical KG ----------
+    "q63_jsonl_source" -> ((s, _) => {
+      Materialize.ensure(s)
+      val pages = graft.sources.PageSources.jsonl(s, s"${Materialize.Root}/pages_jsonl")
+      Pipeline.triples(pages).toDF()
+        .select("docId", "subj", "frame", "pred", "obj", "subjIsUri", "objIsUri")
+    }),
+
     // ---------- SQL surface: the KG as temp views + spark.sql text ----------
     "q62_sql_top_objects" -> ((s, _) => {
       Materialize.triples(s).toDF().createOrReplaceTempView("kg_triples")
@@ -799,6 +807,10 @@ object SparkEntry {
          |FROM ${mat("entities")}""".stripMargin,
     "q19_kg_frames" ->
       s"SELECT url, sent_idx, frame, n_elements FROM ${mat("frames")}",
+    // the JSON-lines adapter must reproduce the parquet-sourced KG exactly
+    "q63_jsonl_source" ->
+      s"""SELECT docId, subj, frame, pred, obj, subjIsUri, objIsUri
+         |FROM ${mat("triples")}""".stripMargin,
     "q20_kg_ttl" ->
       s"""$reparseCte
          |SELECT line AS ttl_line FROM base""".stripMargin,

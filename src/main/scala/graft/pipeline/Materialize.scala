@@ -34,6 +34,10 @@ object Materialize {
     val pages = SynthCorpus.pages(spark, Docs)
     val triples = Pipeline.triples(pages).cache()
 
+    // the same corpus in the JSON-lines interchange format, for the
+    // source-adapter round-trip query (q63)
+    graft.sources.PageSources.writeJsonl(pages.coalesce(1), s"$Root/pages_jsonl")
+
     def put(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$Root/$name")
 

@@ -123,6 +123,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Exports.entityIndex(ts).count() == 4)
   }
 
+  test("pages round-trip the JSON-lines source adapter byte-exactly") {
+    import graft.sources.PageSources
+    val dir = java.nio.file.Files.createTempDirectory("pages_jsonl").toString
+    val pages = graft.pipeline.SynthCorpus.pages(spark, 25, seed = 11L)
+    PageSources.writeJsonl(pages, dir)
+    val back = PageSources.jsonl(spark, dir).collect()
+      .map(p => (p.url, p.warc_ts.getTime, p.html.toSeq, p.text, p.lang)).toSet
+    val orig = pages.collect()
+      .map(p => (p.url, p.warc_ts.getTime, p.html.toSeq, p.text, p.lang)).toSet
+    assert(back == orig)
+  }
+
   test("DataFrame sink columns equal the scalar reference functions corpus-wide") {
     import spark.implicits._
     // the Column-expression paths (queryableTtl, edgesCsv) must agree with
