@@ -133,9 +133,18 @@ object MinHashLsh {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // 1. collapse exact clones: one representative (min id) per text hash
-    val hashed = docs.map { case (id, text) => (id, hash64(text), text) }
-      .toDF("id", "h", "rep_text")
+    // 1. collapse exact clones: one representative (min id) per text hash.
+    // 128-bit MD5, not a 64-bit hash: merging on 64 bits produces ~n²/2⁶⁵
+    // false merges — real collisions at 10¹²-doc scale (≈27k), negligible
+    // at 128 bits. (64-bit hashing stays fine for SHINGLES, where minhash
+    // tolerates rare collisions statistically.)
+    val hashed = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
+        (id, java.util.Base64.getEncoder.encodeToString(
+          md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))), text)
+      }
+    }.toDF("id", "h", "rep_text")
     val reps = hashed.groupBy("h").agg(min("id").as("rep"))
     val groups = hashed.join(reps, "h").select(col("id"), col("rep")).cache()
     val repDocs = hashed.join(reps, hashed("id") === reps("rep"))
