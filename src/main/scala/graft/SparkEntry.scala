@@ -249,16 +249,11 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
     }),
 
+    // column-expression scorer: stays in whole-stage codegen (the scalar
+    // Quality.score is the reference impl, equality-tested in OperatorsSpec)
     "q50_quality_score" -> ((s, d) => {
-      import s.implicits._
-      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
-        .map { case (id, text) =>
-          val q = graft.text.Quality.score(text)
-          (id, q.n_tokens, q.mean_token_len, q.stopword_ratio, q.punct_ratio,
-            q.digit_ratio, q.composite)
-        }
-        .toDF("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
-          "punct_ratio", "digit_ratio", "composite")
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id") +: graft.text.Quality.scoreColumns(col("text")): _*)
     }),
     "q51_bpe_tokens" -> ((s, d) => {
       import s.implicits._
