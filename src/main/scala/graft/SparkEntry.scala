@@ -278,13 +278,11 @@ object SparkEntry {
             (length(col("text")) - tokens + 1).cast("double") / tokens, 3)
             .as("avg_token_len"))
     }),
+    // column-expression language ID (codegen; scalar LangId.detect is the
+    // equality-tested reference implementation)
     "q27_langid" -> ((s, d) => {
-      import s.implicits._
-      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
-        .map { case (id, text) =>
-          val (lang, score) = graft.text.LangId.detect(text)
-          (id, lang, score)
-        }.toDF("doc_id", "lang_pred", "score")
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id") +: graft.text.LangId.detectColumns(col("text")): _*)
     }),
     "q28_fingerprint" -> ((s, d) => {
       import s.implicits._

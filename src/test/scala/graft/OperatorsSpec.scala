@@ -455,6 +455,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaCols == viaScalar)
   }
 
+  test("codegen language id equals the scalar reference implementation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toVector ++
+      Vector(
+        (9001L, ""), (9002L, "   "),
+        (9003L, "der hund und die katze sind im haus"),
+        (9004L, "le chat est dans la maison avec le chien"),
+        (9005L, "el perro y el gato en la casa"),
+        (9006L, "zzz qqq www")) // no profile hits → und
+    val viaCols = texts.toDF("doc_id", "text")
+      .select(col("doc_id") +: LangId.detectColumns(col("text")): _*)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val viaScalar = texts.map { case (id, t) =>
+      val (l, sc) = LangId.detect(t); (id, l, sc)
+    }.toSet
+    assert(viaCols == viaScalar)
+  }
+
   test("simhash hamming distance separates near from far") {
     val a = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta theta")
     val b = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta iota")
