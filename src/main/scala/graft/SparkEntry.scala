@@ -249,11 +249,21 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
     }),
 
-    // column-expression scorer: stays in whole-stage codegen (the scalar
-    // Quality.score is the reference impl, equality-tested in OperatorsSpec)
+    // typed-map formulation kept deliberately: a Column/higher-order-
+    // function version was built and MEASURED ~1.8x slower (HOF lambdas
+    // are CodegenFallback — interpreted per element — while the scalar
+    // scorer is a tight single pass and the encoder round-trip is cheap
+    // next to it); see BENCH.md "measured, not guessed" note
     "q50_quality_score" -> ((s, d) => {
-      s.read.parquet(t(d, "documents"))
-        .select(col("doc_id") +: graft.text.Quality.scoreColumns(col("text")): _*)
+      import s.implicits._
+      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val q = graft.text.Quality.score(text)
+          (id, q.n_tokens, q.mean_token_len, q.stopword_ratio, q.punct_ratio,
+            q.digit_ratio, q.composite)
+        }
+        .toDF("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+          "punct_ratio", "digit_ratio", "composite")
     }),
     "q51_bpe_tokens" -> ((s, d) => {
       import s.implicits._
@@ -278,11 +288,15 @@ object SparkEntry {
             (length(col("text")) - tokens + 1).cast("double") / tokens, 3)
             .as("avg_token_len"))
     }),
-    // column-expression language ID (codegen; scalar LangId.detect is the
-    // equality-tested reference implementation)
+    // typed map kept deliberately — see the q50 note (the HOF-column
+    // variant measured slower, CodegenFallback)
     "q27_langid" -> ((s, d) => {
-      s.read.parquet(t(d, "documents"))
-        .select(col("doc_id") +: graft.text.LangId.detectColumns(col("text")): _*)
+      import s.implicits._
+      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val (lang, score) = graft.text.LangId.detect(text)
+          (id, lang, score)
+        }.toDF("doc_id", "lang_pred", "score")
     }),
     "q28_fingerprint" -> ((s, d) => {
       import s.implicits._

@@ -23,35 +23,6 @@ object LangId {
       "que", "es", "por", "con", "para", "su", "se", "no", "como", "más",
       "pero", "sus", "le", "fue", "al", "lo", "son", "entre", "está", "también"))
 
-  /** Column-expression formulation of [[detect]] — built-ins only, stays
-    * in whole-stage codegen (profile hit-counts share the token-count
-    * denominator, so the first-max tie-break compares counts directly).
-    * Equality-tested against the scalar [[detect]] in OperatorsSpec.
-    */
-  def detectColumns(text: org.apache.spark.sql.Column)
-      : Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.Column
-    val toks = when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(lower(text)), "\\s+"))
-    val nTok = size(toks).cast("double")
-    def hits(stops: Set[String]): Column = {
-      val arr = array(stops.toSeq.sorted.map(lit): _*)
-      size(filter(toks, t => array_contains(arr, t)))
-    }
-    val counts = profiles.map { case (lang, stops) => lang -> hits(stops) }
-    val best = greatest(counts.map(_._2): _*)
-    // first profile (en, de, fr, es order) reaching the max wins — mirrors
-    // the scalar loop's strict-> update rule
-    val lang = when(nTok === 0 || best === 0, "und")
-      .otherwise(counts.init.foldRight(lit(counts.last._1): Column) {
-        case ((l, c), rest) => when(c === best, l).otherwise(rest)
-      })
-    val score = when(nTok === 0, 0.0)
-      .otherwise(floor(best.cast("double") / nTok * 1e6 + 0.5) / 1e6)
-    Seq(lang.as("lang_pred"), score.as("score"))
-  }
-
   /** (language, stopword-hit ratio). Deterministic first-max tie-break in
     * profile order (en, de, fr, es).
     */

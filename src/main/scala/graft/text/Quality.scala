@@ -53,48 +53,6 @@ object Quality {
     Score(n, nTok, r3(meanLen), r3(stopRatio), r3(punctRatio), r3(digitRatio), composite)
   }
 
-  /** Column-expression formulation of [[score]] — pure
-    * `org.apache.spark.sql.functions` built-ins, so the whole scorer stays
-    * inside whole-stage codegen (no object deserialization per row, unlike
-    * the `Dataset.map` form; the scalar [[score]] remains the reference
-    * implementation and the two are equality-tested corpus-wide).
-    * Unicode note: classifies via `\p{L}`/`\p{Nd}`/java `\s`, matching the
-    * scalar version on ASCII and BMP text; exotic whitespace (python's
-    * `\x1c`–`\x1f`) differs — irrelevant for web-text corpora.
-    */
-  def scoreColumns(text: org.apache.spark.sql.Column)
-      : Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.Column
-    def r3(c: Column): Column = floor(c * 1000 + 0.5) / 1000
-    val n = length(text).cast("double")
-    val toks = when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
-    val nTok = size(toks)
-    val nTokD = nTok.cast("double")
-    val nDigit = (length(text) - length(regexp_replace(text, "[\\p{Nd}]", ""))).cast("double")
-    val nPunct = length(regexp_replace(text, "[\\p{L}\\p{Nd}\\s]", "")).cast("double")
-    val sumLen = aggregate(transform(toks, t => length(t)), lit(0),
-      (acc, v) => acc + v).cast("double")
-    val meanLen = when(nTok === 0, 0.0).otherwise(sumLen / nTokD)
-    val stopArr = array(stopwords.toSeq.sorted.map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stopArr, lower(t)))).cast("double")
-    val stopR = when(nTok === 0, 0.0).otherwise(nStop / nTokD)
-    val punctR = when(n === 0, 0.0).otherwise(nPunct / n)
-    val digitR = when(n === 0, 0.0).otherwise(nDigit / n)
-    val lenScore = least(lit(1.0), nTokD / 50.0)
-    val stopScore = lit(1.0) - least(lit(1.0), abs(stopR - 0.4) / 0.4)
-    val noiseScore = greatest(lit(0.0), lit(1.0) - lit(4) * punctR - lit(4) * digitR)
-    val tokLenScore = lit(1.0) - least(lit(1.0), abs(meanLen - 5.0) / 5.0)
-    Seq(
-      nTok.as("n_tokens"),
-      r3(meanLen).as("mean_token_len"),
-      r3(stopR).as("stopword_ratio"),
-      r3(punctR).as("punct_ratio"),
-      r3(digitR).as("digit_ratio"),
-      r3(lit(0.25) * (lenScore + stopScore + noiseScore + tokLenScore)).as("composite"))
-  }
-
   /** BPE-ish subword-piece count: letter runs, digit runs, and punctuation
     * runs each count as a piece — RE2/Java-portable approximation of
     * byte-pair tokenizer pre-splitting.

@@ -433,48 +433,6 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getLong(4) == 2 && row.getLong(5) == 1)
   }
 
-  test("codegen quality scorer equals the scalar reference implementation") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    import graft.text.Quality
-    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "text").as[(Long, String)].collect().toVector ++
-      Vector( // hand-picked edges: empty, whitespace-only, punct/digit-heavy
-        (9001L, ""), (9002L, "   "), (9003L, "!!! 123 ??? 456"),
-        (9004L, "the of and to in a is that was for"),
-        (9005L, "x"))
-    val viaCols = texts.toDF("doc_id", "text")
-      .select(col("doc_id") +: Quality.scoreColumns(col("text")): _*)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
-    val viaScalar = texts.map { case (id, t) =>
-      val q = Quality.score(t)
-      (id, q.n_tokens, q.mean_token_len, q.stopword_ratio, q.punct_ratio,
-        q.digit_ratio, q.composite)
-    }.toSet
-    assert(viaCols == viaScalar)
-  }
-
-  test("codegen language id equals the scalar reference implementation") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "text").as[(Long, String)].collect().toVector ++
-      Vector(
-        (9001L, ""), (9002L, "   "),
-        (9003L, "der hund und die katze sind im haus"),
-        (9004L, "le chat est dans la maison avec le chien"),
-        (9005L, "el perro y el gato en la casa"),
-        (9006L, "zzz qqq www")) // no profile hits → und
-    val viaCols = texts.toDF("doc_id", "text")
-      .select(col("doc_id") +: LangId.detectColumns(col("text")): _*)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
-    val viaScalar = texts.map { case (id, t) =>
-      val (l, sc) = LangId.detect(t); (id, l, sc)
-    }.toSet
-    assert(viaCols == viaScalar)
-  }
-
   test("simhash hamming distance separates near from far") {
     val a = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta theta")
     val b = SimHash.simhash64("alpha beta gamma delta epsilon zeta eta iota")

@@ -83,15 +83,6 @@ class PlanQualitySpec extends AnyFunSuite {
       "eval join degenerated to a product")
   }
 
-  test("quality scorer and language id run as column expressions, not maps") {
-    Seq("q50_quality_score", "q27_langid").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("DeserializeToObject") && !p.contains("MapElements"),
-        s"$q fell back to a Dataset.map:\n$p")
-      assert(p.contains("Project [codegen id"), s"$q projection left codegen:\n$p")
-    }
-  }
-
   test("triple store prunes partitions on the bucket column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_prune").toString
