@@ -29,6 +29,54 @@ class PropertySpec extends AnyFunSuite {
   private val textGen: Gen[String] =
     Gen.nonEmptyListOf(sentenceGen).map(_.mkString(" "))
 
+  test("truncation: bounded length, prefix-or-ellipsis, reference branch rule") {
+    import graft.text.Truncate.toSentenceBoundary
+    val punctText = Gen.nonEmptyListOf(
+      Gen.oneOf("word", "x", "end.", "why?", "now!", "a b c", "1956"))
+      .map(_.mkString(" "))
+    forAll(Gen.zip(punctText, Gen.choose(10, 120)), n = 300) { case (s, m) =>
+      val out = toSentenceBoundary(s, m)
+      if (s.length <= m) assert(out == s)
+      else {
+        assert(out.length <= m, s"len ${out.length} > $m for '$s'")
+        assert(s.startsWith(out.stripSuffix("...")),
+          s"output not a prefix: '$out' of '$s'")
+        if (out.endsWith("...")) assert(out.length == m)
+        else assert(".!?".contains(out.last) && out.length > m * 0.8)
+      }
+    }
+  }
+
+  test("minhash: estimate within [0,1], symmetric, exact on identical texts") {
+    import graft.dedup.MinHashLsh
+    forAll(Gen.zip(textGen, textGen), n = 100) { case (a, b) =>
+      val (sa, sb) = (MinHashLsh.signature(a), MinHashLsh.signature(b))
+      val est = MinHashLsh.estimateJaccard(sa, sb)
+      assert(est >= 0.0 && est <= 1.0)
+      assert(est == MinHashLsh.estimateJaccard(sb, sa))
+      assert(MinHashLsh.estimateJaccard(sa, MinHashLsh.signature(a)) == 1.0)
+      // a deterministic function of the text, not the doc
+      assert(sa.toSeq == MinHashLsh.signature(a).toSeq)
+    }
+  }
+
+  test("ttl re-parse: subject is the line's first token, object joins the rest") {
+    import graft.io.Exports
+    import graft.model.Triple
+    forAll(Gen.zip(word, word, Gen.nonEmptyListOf(word)), n = 200) {
+      case (subj, pred, objWords) =>
+        val obj = objWords.mkString(" ")
+        val line = Triple.ttlLine(subj, "Frame_x", pred, obj)
+        Exports.parseCustomTtlLine(line).foreach { case (s, p, o) =>
+          def sq(x: String) = x.replaceAll("^[\"']+|[\"']+$", "")
+          val parts = PyStr.split(PyStr.strip(line).replaceAll("[;.]$", ""))
+          assert(s == sq(parts.head))
+          assert(p == sq(parts(1)))
+          assert(o == sq(parts.drop(2).mkString(" ")))
+        }
+    }
+  }
+
   test("chunk reassembly approximates the normalized input") {
     forAll(textGen) { text =>
       val chunks = Chunker.split(text, maxChars = 80)
