@@ -175,12 +175,18 @@ object Canonicalize {
       .as[Triple]
   }
 
-  /** Full pass: edges from mention/uri pairs, CC, rewrite, dedup. */
+  /** Full pass: edges from mention/uri pairs, CC, rewrite, dedup.
+    * `checkpointDir` selects the reliable (cluster-safe) per-round
+    * checkpoint for the CC iterations; None = localCheckpoint
+    * (single-JVM/test runs).
+    */
   def canonicalize(
       triples: Dataset[Triple],
       mentionUri: DataFrame,
-      ambiguousSurfaces: Set[String]): Dataset[Triple] = {
-    val cc = connectedComponents(sameAsEdges(mentionUri, ambiguousSurfaces))
+      ambiguousSurfaces: Set[String],
+      checkpointDir: Option[String] = None): Dataset[Triple] = {
+    val cc = connectedComponents(
+      sameAsEdges(mentionUri, ambiguousSurfaces), checkpointDir = checkpointDir)
     rewrite(triples, cc).dropDuplicates("docId", "subj", "frame", "pred", "obj")
   }
 

@@ -17,6 +17,11 @@ import graft.model.Triple
   * entity-link output table directly.
   *
   * Usage: CanonicalizeKg --store <buildKgOut> --out <canonStore>
+  *        [--checkpoint <dir>]
+  * --checkpoint selects the RELIABLE per-round checkpoint for the CC
+  * iterations (survives executor loss on a cluster); defaults to
+  * <out>/_cc_checkpoint. Pass `local` to use localCheckpoint instead
+  * (fastest for single-JVM runs).
   */
 object CanonicalizeKg {
   def main(args: Array[String]): Unit = {
@@ -45,8 +50,14 @@ object CanonicalizeKg {
     val mentionUri = dict.entries.values.toSeq
       .map(e => (e.mention, e.uri)).toDF("mention", "uri")
 
+    val checkpoint = opts.getOrElse("--checkpoint", s"$out/_cc_checkpoint") match {
+      case "local" => None
+      case dir => Some(dir)
+    }
+
     val t0 = System.nanoTime()
-    val canon = Canonicalize.canonicalize(triples, mentionUri)
+    val canon = Canonicalize.canonicalize(
+      triples, mentionUri, Canonicalize.defaultAmbiguousSurfaces, checkpoint)
     // same store layout as BuildKg ($out/data/bucket=*) so ExportKg and
     // TripleStore.read chain off either stage interchangeably
     TripleStore.write(canon, s"$out/data")
