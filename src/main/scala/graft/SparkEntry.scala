@@ -265,11 +265,12 @@ object SparkEntry {
         .toDF("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
           "punct_ratio", "digit_ratio", "composite")
     }),
+    // native Expression with doGenCode (the scalar-kernel codegen route;
+    // see the simhash64 pattern) — no encoder round-trip per row
     "q51_bpe_tokens" -> ((s, d) => {
-      import s.implicits._
-      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
-        .map { case (id, text) => (id, graft.text.Quality.bpeIshTokenCount(text)) }
-        .toDF("doc_id", "n_pieces")
+      graft.expr.BpeCount32Expr.register(s)
+      s.read.parquet(t(d, "documents"))
+        .selectExpr("doc_id", "bpe_count(text) AS n_pieces")
     }),
 
     "q25_token_count" -> ((s, d) => {

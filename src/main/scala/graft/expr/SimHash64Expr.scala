@@ -60,5 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
         (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_count"),
+        new ExpressionInfo(classOf[BpeCount32Expr].getName, "bpe_count"),
+        (exprs: Seq[Expression]) => BpeCount32Expr(exprs.head)))
   }
 }

@@ -50,7 +50,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("MapElements"), "fell back to Dataset.map")
   }
 
-  test("simhash64 generated code actually COMPILES (no silent janino fallback)") {
+  test("custom-expression generated code actually COMPILES (no silent janino fallback)") {
     // a WholeStageCodegen span in the plan is necessary but not
     // sufficient: janino compile errors fall back to interpreted mode at
     // runtime with only a warning (round 1 shipped exactly that bug —
@@ -59,8 +59,10 @@ class PlanQualitySpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val n = graft.SparkEntry.queries("q24_simhash")(spark, "/root/testdata/sf0.001").count()
-      assert(n > 0)
+      Seq("q24_simhash", "q51_bpe_tokens").foreach { q =>
+        val n = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        assert(n > 0)
+      }
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
