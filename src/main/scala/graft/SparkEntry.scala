@@ -299,11 +299,11 @@ object SparkEntry {
           (id, lang, score)
         }.toDF("doc_id", "lang_pred", "score")
     }),
+    // native Expression with doGenCode (scalar-kernel codegen route)
     "q28_fingerprint" -> ((s, d) => {
-      import s.implicits._
-      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
-        .map { case (id, text) => (id, graft.text.Fingerprint.rolling64(text)) }
-        .toDF("doc_id", "fingerprint")
+      graft.expr.Fingerprint64Expr.register(s)
+      s.read.parquet(t(d, "documents"))
+        .selectExpr("doc_id", "fingerprint64(text) AS fingerprint")
     }),
 
     // ---------- embeddings / similarity ----------

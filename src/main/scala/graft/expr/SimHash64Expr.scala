@@ -64,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_count"),
         new ExpressionInfo(classOf[BpeCount32Expr].getName, "bpe_count"),
         (exprs: Seq[Expression]) => BpeCount32Expr(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("fingerprint64"),
+        new ExpressionInfo(classOf[Fingerprint64Expr].getName, "fingerprint64"),
+        (exprs: Seq[Expression]) => Fingerprint64Expr(exprs.head)))
   }
 }

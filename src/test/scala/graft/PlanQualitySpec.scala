@@ -59,7 +59,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      Seq("q24_simhash", "q51_bpe_tokens").foreach { q =>
+      Seq("q24_simhash", "q51_bpe_tokens", "q28_fingerprint").foreach { q =>
         val n = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
         assert(n > 0)
       }
