@@ -51,6 +51,15 @@ object Disambiguator {
   lazy val default: Disambiguator =
     fromResources("/graft/alias_candidates.tsv", "/graft/uri_profiles.tsv")
 
+  /** Build from in-memory maps — used by leave-one-out evaluation (mine
+    * candidates/profiles from all OTHER documents, resolve the held-out
+    * one) and by callers that mine their own corpus statistics.
+    */
+  def fromMaps(
+      candidates: Map[String, Vector[Candidate]],
+      profiles: Map[String, Array[String]]): Disambiguator =
+    new Disambiguator(candidates, profiles)
+
   private val tokenPattern = java.util.regex.Pattern.compile("[a-z][a-z'-]+")
   private val stop = Set("the", "a", "an", "of", "in", "on", "at", "to", "from",
     "by", "for", "with", "and", "or", "as", "was", "were", "is", "are", "be",

@@ -65,7 +65,9 @@ class RawTextGoldenSpec extends AnyFunSuite {
   // and uri_profiles.tsv were mined from the same golden corpus measured
   // here, so the absolute numbers are optimistic relative to unseen
   // documents. The test's claim is the RELATIVE lift of context-cosine
-  // over last-write-wins under identical conditions, not generalization.
+  // over last-write-wins under identical conditions; the leave-one-out
+  // test below gives the honest generalization number (0.674 vs 0.656
+  // prior on genuinely ambiguous out-of-sample surfaces).
   test("context disambiguation beats last-write-wins on golden URI choice") {
     import graft.link.Disambiguator
     var baseHit = 0L; var disHit = 0L; var total = 0L
@@ -93,6 +95,81 @@ class RawTextGoldenSpec extends AnyFunSuite {
     info(f"uri accuracy: last-write-wins=$baseAcc%.3f context-cosine=$disAcc%.3f ($total occurrences)")
     assert(disAcc > baseAcc, "disambiguation should improve URI choice")
     assert(disAcc >= 0.9, f"disambiguated accuracy $disAcc%.3f too low")
+  }
+
+  /** The honest generalization number the resubstitution test above can't
+    * give: candidates + context profiles are mined from all OTHER
+    * documents (global aggregates minus the held-out doc's contribution),
+    * then the held-out doc's ambiguous golden mentions are resolved with
+    * its own token set. Baseline = corpus-frequency prior (most common
+    * URI for the surface, no context).
+    */
+  test("leave-one-out: context disambiguation generalizes to unseen documents") {
+    import graft.link.{Candidate, Disambiguator}
+    // per-doc raw material
+    final case class DocData(
+        id: String,
+        mentions: Vector[(String, String)], // (surfaceLower, goldenUri)
+        tokens: Set[String])
+    val docs = authors.flatMap { case (dir, a) =>
+      inputIndex.get(a).map { inputDir =>
+        val text = readAll(s"/inputs/$inputDir.txt")
+        val ments = StageJson.parseEntities(a, resource(s"/golden/$dir/entities.json"))
+          .map(e => (PyStr.lower(PyStr.strip(e.mention)), e.uri))
+          .filter(_._2.startsWith("http"))
+        DocData(a, ments, Disambiguator.docTokens(text))
+      }
+    }
+    // global aggregates, subtractable per doc
+    val candCount = scala.collection.mutable.Map.empty[(String, String), Int]
+    val uriDocTokens = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, Int]]
+    docs.foreach { d =>
+      d.mentions.foreach { case (s, u) =>
+        candCount((s, u)) = candCount.getOrElse((s, u), 0) + 1
+      }
+      d.mentions.map(_._2).distinct.foreach { u =>
+        val tc = uriDocTokens.getOrElseUpdate(u, scala.collection.mutable.Map.empty)
+        d.tokens.foreach(t => tc(t) = tc.getOrElse(t, 0) + 1)
+      }
+    }
+    var ambTotal = 0L
+    var ctxHit = 0L
+    var priorHit = 0L
+    docs.foreach { d =>
+      // leave d out of the aggregates
+      val dCounts = d.mentions.groupBy(identity).view.mapValues(_.size).toMap
+      val looCand = scala.collection.mutable.Map.empty[String, Vector[Candidate]]
+      candCount.foreach { case ((s, u), n) =>
+        val loo = n - dCounts.getOrElse((s, u), 0)
+        if (loo > 0)
+          looCand(s) = looCand.getOrElse(s, Vector.empty) :+
+            Candidate(u, u, 0.9, loo)
+      }
+      val dUris = d.mentions.map(_._2).toSet
+      val looProf = uriDocTokens.map { case (u, tc) =>
+        val minus = if (dUris(u)) d.tokens else Set.empty[String]
+        u -> tc.iterator
+          .map { case (t, n) => (t, n - (if (minus(t)) 1 else 0)) }
+          .filter(_._2 > 0).toVector
+          .sortBy { case (t, n) => (-n, t) }.take(30).map(_._1).toArray
+      }.toMap
+      val loo = Disambiguator.fromMaps(
+        looCand.view.mapValues(_.sortBy(c => c.uri)).toMap, looProf)
+      d.mentions.distinct.foreach { case (s, golden) =>
+        val cands = looCand.getOrElse(s, Vector.empty)
+        if (cands.map(_.uri).distinct.size > 1) { // genuinely ambiguous OOS
+          ambTotal += 1
+          val prior = cands.maxBy(c => (c.count, c.uri)).uri
+          if (prior == golden) priorHit += 1
+          if (loo.resolve(s, d.tokens).map(_.uri).contains(golden)) ctxHit += 1
+        }
+      }
+    }
+    val priorAcc = priorHit.toDouble / ambTotal
+    val ctxAcc = ctxHit.toDouble / ambTotal
+    info(f"LOO ambiguous-surface accuracy: prior=$priorAcc%.3f context=$ctxAcc%.3f ($ambTotal cases)")
+    assert(ambTotal > 50, s"too few ambiguous cases to evaluate: $ambTotal")
+    assert(ctxAcc >= priorAcc, "out-of-sample context resolution should not lose to the prior")
   }
 
   test("entity linker recovers most golden mention surfaces from raw text") {
