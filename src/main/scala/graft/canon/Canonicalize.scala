@@ -65,7 +65,15 @@ object Canonicalize {
     sameAsEdges(mentionUri, defaultAmbiguousSurfaces)
 
   /** Connected components via iterative min-label propagation with
-    * pointer jumping.
+    * pointer jumping, over DICTIONARY-ENCODED node ids: node strings are
+    * mapped once to dense `Long` ids whose order matches string order
+    * (range sort + `monotonically_increasing_id` — partition index forms
+    * the high bits and range partitions are sort-ordered, so id order ==
+    * string order and min-id == lexicographic-min string, preserving the
+    * representative contract). Every per-round shuffle then moves 8-byte
+    * longs instead of full URI strings — at 10⁹-node scale that cuts
+    * per-round shuffle bytes several-fold; strings are joined back exactly
+    * once after convergence.
     *
     * @param edges           (src, dst) string pairs
     * @param maxIter         hard round cap; with pointer jumping rounds
@@ -73,15 +81,50 @@ object Canonicalize {
     * @param checkpointDir   when set, per-round reliable `checkpoint` into
     *                        this directory (cluster-safe: survives executor
     *                        loss, unlike `localCheckpoint` whose truncated
-    *                        lineage dies with its executors)
+    *                        lineage dies with its executors). NOTE: this
+    *                        calls `SparkContext.setCheckpointDir`, which is
+    *                        context-global — concurrent callers in one JVM
+    *                        should pass the same directory. Superseded
+    *                        per-round snapshots are deleted as the loop
+    *                        advances (disk stays ~4 tables, not maxIter);
+    *                        the FINAL labels' files stay — callers may
+    *                        delete the directory after materializing the
+    *                        result elsewhere.
     * @param convergeEvery   run the convergence-count job only every k
     *                        rounds (each check is an extra Spark job; at
-    *                        scale checking every round doubles job count)
+    *                        scale checking every round doubles job count).
+    *                        The final (iter == maxIter) check falls back to
+    *                        comparing against the immediately preceding
+    *                        round, so a graph that genuinely needs close to
+    *                        maxIter rounds is not falsely declared
+    *                        unconverged against a k-rounds-old snapshot.
     * @throws IllegalStateException if labels were still changing at
     *                        maxIter — silent unconverged output would
     *                        rewrite triples to non-canonical representatives
     * @return (node, component)
     */
+  /** Dictionary-encode edge endpoints: `dict(node: string, nid: long)`
+    * with nid order == node string order, plus the edges re-expressed over
+    * nids. `save` materializes the dict before reuse — ids come from
+    * sampled range boundaries and must not change under lineage
+    * recomputation.
+    */
+  private[graft] def encodeEdges(
+      edges: DataFrame,
+      save: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val nodesStr = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val dict = save(nodesStr.orderBy("node")
+      .withColumn("nid", monotonically_increasing_id()))
+    val byName = (as: String) => dict
+      .select(col("node").as(as), col("nid").as(s"${as}_id"))
+    val encoded = edges
+      .join(byName("src"), "src")
+      .join(byName("dst"), "dst")
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    (dict, encoded)
+  }
+
   def connectedComponents(
       edges: DataFrame,
       maxIter: Int = 20,
@@ -89,12 +132,42 @@ object Canonicalize {
       convergeEvery: Int = 2): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    // checkpoint-file bookkeeping: associate each checkpointed df with the
+    // rdd-* dirs it created, so superseded per-round snapshots can be
+    // deleted (otherwise up to maxIter copies of a web-scale labels table
+    // accumulate under the checkpoint dir per run)
+    val ckptFs = checkpointDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    def listCkptDirs(): Set[String] = ckptFs.map { case (fs, root) =>
+      if (!fs.exists(root)) Set.empty[String]
+      else fs.listStatus(root).iterator.filter(_.isDirectory)
+        .flatMap(u => fs.listStatus(u.getPath).map(_.getPath.toString)).toSet
+    }.getOrElse(Set.empty)
+    val dirsOf = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Set[String])]
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        val before = listCkptDirs()
+        val out = df.checkpoint()
+        dirsOf += ((out, listCkptDirs() -- before))
+        out
+      } else df.localCheckpoint()
+    def gcExcept(live: Seq[DataFrame]): Unit = ckptFs.foreach { case (fs, _) =>
+      val dead = dirsOf.filterNot { case (df, _) => live.exists(_ eq df) }
+      dead.foreach { case (_, dirs) =>
+        dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
+      dirsOf.filterInPlace { case (df, _) => live.exists(_ eq df) }
+    }
+
+    val (dict, encoded) = encodeEdges(edges, save)
+    val byName = (as: String) => dict
+      .select(col("node").as(as), col("nid").as(s"${as}_id"))
 
     val bidir = save(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      encoded.union(encoded.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
 
     // seed with round 1 for free: every node starts at min(self, neighbors)
@@ -107,8 +180,10 @@ object Canonicalize {
 
     var converged = false
     var iter = 0
+    var prev = labels
     var lastChecked = labels
     while (!converged && iter < maxIter) {
+      prev = labels
       val viaNeighbors = bidir
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("component"))
@@ -129,18 +204,29 @@ object Canonicalize {
           .groupBy("node").agg(min("component").as("component")))
       iter += 1
       if (iter % convergeEvery == 0 || iter == maxIter) {
-        val changed = labels
-          .join(lastChecked.withColumnRenamed("component", "old"), "node")
+        def changedVs(base: DataFrame): Long = labels
+          .join(base.withColumnRenamed("component", "old"), "node")
           .filter(col("component") =!= col("old")).count()
-        converged = changed == 0
+        converged = changedVs(lastChecked) == 0
+        // min-labels only ever decrease, so unchanged-since-k-rounds-ago
+        // implies converged; at the cap, fall back to the one-round check
+        // so convergence ON round maxIter-1/maxIter is not misreported
+        if (!converged && iter == maxIter) converged = changedVs(prev) == 0
         lastChecked = labels
       }
+      gcExcept(Seq(dict, bidir, labels, prev, lastChecked))
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "raise maxIter (components would be silently split otherwise)")
+
+    // decode ids back to strings (once, after convergence)
     labels
+      .join(byName("node_str").withColumnRenamed("node_str_id", "node"), "node")
+      .join(byName("comp_str").withColumnRenamed("comp_str_id", "component"),
+        "component")
+      .select(col("node_str").as("node"), col("comp_str").as("component"))
   }
 
   /** Rewrite triple subj/obj URIs to their component representative.
@@ -148,18 +234,17 @@ object Canonicalize {
     * The mapping only contains aliased URIs, typically tiny next to the
     * triple table — but "typically" is not a plan: at 10^12-doc scale the
     * alias mapping itself can be huge, and an unconditional broadcast OOMs
-    * the driver. The mapping is counted once (it is small relative to the
-    * job) and broadcast only under `broadcastMaxRows`; above that it goes
-    * through a plain shuffled join, where AQE handles skewed URIs.
+    * the driver. No eager size probe runs here (a `count()` per call is an
+    * extra job at scale): the joins are left unhinted and AQE converts
+    * them to broadcast joins at runtime when the mapping's measured size
+    * is under `spark.sql.autoBroadcastJoinThreshold`, falling back to a
+    * shuffled join (with AQE skew splitting on head URIs) otherwise.
+    * Callers that KNOW the mapping is small can pass `broadcast(mapping)`.
     */
-  def rewrite(
-      triples: Dataset[Triple],
-      mapping: DataFrame,
-      broadcastMaxRows: Long = 1000000L): Dataset[Triple] = {
+  def rewrite(triples: Dataset[Triple], mapping: DataFrame): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val m0 = mapping.select(col("node"), col("component"))
-    val m = if (m0.count() <= broadcastMaxRows) broadcast(m0) else m0
+    val m = mapping.select(col("node"), col("component"))
     triples.toDF()
       .join(m.withColumnRenamed("node", "subj").withColumnRenamed("component", "subj_canon"),
         Seq("subj"), "left")

@@ -1,6 +1,7 @@
 package graft.dedup
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.PyStr
@@ -125,11 +126,17 @@ object MinHashLsh {
     *                   band — overwhelmingly boilerplate; capped buckets
     *                   are counted in the other 15 bands anyway).
     */
-  def nearDuplicatePairs(
+  /** Shared front half of near-dup detection: exact-clone collapse,
+    * LSH banding over representatives, signature prescreen, exact
+    * verification. Returns (groups = (id, rep) clone membership,
+    * repPairs = verified near-dup pairs BETWEEN representatives).
+    * `groups` is cached; callers unpersist when done.
+    */
+  private def cloneGroupsAndRepPairs(
       docs: Dataset[(Long, String)],
-      threshold: Double = 0.8,
-      sigMargin: Double = 0.19,
-      bandBucketCap: Int = 100000): Dataset[(Long, Long, Double)] = {
+      threshold: Double,
+      sigMargin: Double,
+      bandBucketCap: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -150,18 +157,6 @@ object MinHashLsh {
     val repDocs = hashed.join(reps, hashed("id") === reps("rep"))
       .select(col("id"), col("rep_text").as("text"))
       .as[(Long, String)]
-
-    // clone-internal pairs: identical texts are near-dups at jaccard 1.0
-    // (enumerating them is inherent to the output, not to any shuffle —
-    // only ids move, never texts)
-    val clonePairs = groups.as[(Long, Long)].groupByKey(_._2)
-      .flatMapGroups { (_, it) =>
-        val ids = it.map(_._1).toArray.sorted
-        for {
-          i <- ids.indices.iterator
-          j <- (i + 1 until ids.length).iterator
-        } yield (ids(i), ids(j), 1.0)
-      }
 
     // 2. LSH candidates over representatives, signatures computed ONCE
     val sigs = repDocs.map { case (id, text) => (id, signature(text)) }
@@ -202,7 +197,62 @@ object MinHashLsh {
       .filter(_._3 >= threshold)
       .toDF("ra", "rb", "j")
 
-    // 5. expand representative pairs back through their clone groups
+    (groups, repPairs)
+  }
+
+  /** Clone-internal pairs (jaccard 1.0) via BLOCKED enumeration: members
+    * of each clone group are ranked, split into blocks of `blockSize`, and
+    * each unordered block pair (bi ≤ bj) becomes an independent join key —
+    * so a 10⁶-copy boilerplate group fans its m(m−1)/2 output pairs across
+    * the cluster's reduce partitions instead of materializing them all in
+    * ONE task (the round-2 scale-killer). Per join key, each side holds at
+    * most `blockSize` rows, so no task's in-memory working set exceeds
+    * 2·blockSize ids and no single key yields more than blockSize² pairs.
+    * Only ids move — never texts. The O(m²) OUTPUT is inherent to the pair
+    * contract; [[nearDuplicateClusters]] is the scale-path alternative.
+    *
+    * Exposed package-private for the boundedness spec.
+    */
+  private[graft] def clonePairsBlocked(
+      groups: DataFrame,
+      blockSize: Int): Dataset[(Long, Long, Double)] = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    // rank within group: an O(m) sort per group (bounded work, unlike the
+    // O(m²) enumeration this replaces)
+    val w = Window.partitionBy("rep").orderBy("id")
+    val ranked = groups
+      .select(col("id"), col("rep"),
+        ((row_number().over(w) - 1) / blockSize).cast("int").as("blk"))
+    val nBlocks = ranked.groupBy("rep").agg(max("blk").as("max_blk"))
+    // element of block b joins as LEFT for keys (b, c), c ∈ [b, maxBlk]
+    val lefts = ranked.join(nBlocks, "rep")
+      .select(col("id"), col("rep"), col("blk").as("bi"),
+        explode(sequence(col("blk"), col("max_blk"))).as("bj"))
+    // ... and as RIGHT for keys (a, b), a ∈ [0, b]
+    val rights = ranked
+      .select(col("id").as("rid"), col("rep"),
+        explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    lefts.join(rights, Seq("rep", "bi", "bj"))
+      .filter(col("id") < col("rid"))
+      .select(col("id"), col("rid"), lit(1.0).as("j"))
+      .as[(Long, Long, Double)]
+  }
+
+  def nearDuplicatePairs(
+      docs: Dataset[(Long, String)],
+      threshold: Double = 0.8,
+      sigMargin: Double = 0.19,
+      bandBucketCap: Int = 100000,
+      cloneBlockSize: Int = 4096): Dataset[(Long, Long, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (groups, repPairs) =
+      cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap)
+
+    val clonePairs = clonePairsBlocked(groups, cloneBlockSize)
+
+    // expand representative pairs back through their clone groups
     val expanded = repPairs
       .join(groups.withColumnRenamed("rep", "ra").withColumnRenamed("id", "ea"), "ra")
       .join(groups.withColumnRenamed("rep", "rb").withColumnRenamed("id", "eb"), "rb")
@@ -213,6 +263,39 @@ object MinHashLsh {
       .as[(Long, Long, Double)]
 
     expanded.union(clonePairs)
+  }
+
+  /** Scale-path near-dup contract: one (doc_id, cluster) assignment per
+    * input document instead of O(m²) pairs — `cluster` is the minimum
+    * doc_id of the doc's near-duplicate cluster (exact clones collapsed
+    * first, verified near-dup representative pairs then merged by
+    * connected components). Singleton documents map to themselves, so the
+    * output is exactly |docs| rows: a 10⁶-copy boilerplate page costs 10⁶
+    * assignment rows, not 5·10¹¹ pairs. Downstream dedup keeps
+    * `doc_id == cluster` (the canonical copy) and drops the rest.
+    */
+  def nearDuplicateClusters(
+      docs: Dataset[(Long, String)],
+      threshold: Double = 0.8,
+      sigMargin: Double = 0.19,
+      bandBucketCap: Int = 100000): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (groups, repPairs) =
+      cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap)
+
+    // CC over the rep-pair graph (tiny next to the corpus: only verified
+    // near-dup representatives appear). Canonicalize.connectedComponents
+    // picks the lexicographic-min label, so ids are zero-padded to make
+    // string order equal numeric order.
+    def pad(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
+    val edges = repPairs.select(pad(col("ra")).as("src"), pad(col("rb")).as("dst"))
+    val labels = graft.canon.Canonicalize.connectedComponents(edges)
+      .select(col("node").cast("long").as("rep"),
+        col("component").cast("long").as("cluster"))
+    groups.join(labels, Seq("rep"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("rep")).as("cluster"))
+      .as[(Long, Long)]
   }
 
   /** Exact word-shingle Jaccard for candidate verification. */

@@ -60,12 +60,18 @@ object TripleStore {
       units: Int = 16): Seq[Int] = {
     val spark = newTriples.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val withUnit = newTriples.toDF().withColumn("unit", bucketOf(col("docId"), units))
     val affected = withUnit.select("unit").distinct().as[Int].collect().toSeq.sorted
     if (affected.isEmpty) return Seq.empty
     val main = dataDir(outDir)
     val staging = s"$outDir/_staging"
+    // staging is per-batch scratch: clear it first, so unit partitions from
+    // EARLIER batches can't leak into this batch's second hop (they would
+    // both grow each write toward a full-store rewrite and silently revert
+    // units another writer touched in between)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
     val docs = newTriples.toDF().select("docId").distinct()
     val combined =
       if (Files.exists(Paths.get(main)))
@@ -74,11 +80,19 @@ object TripleStore {
           .join(broadcast(docs), Seq("docId"), "left_anti")
           .unionByName(withUnit)
       else withUnit
+    // overwrite mode scoped to the writer, not the session conf — mutating
+    // the session would silently flip TripleStore.write's later
+    // SaveMode.Overwrite from truncate to dynamic semantics
     combined
       .repartition(col("unit")).sortWithinPartitions("subj", "pred", "obj")
-      .write.mode(SaveMode.Overwrite).partitionBy("unit").parquet(staging)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("unit").parquet(staging)
     spark.read.parquet(staging)
-      .write.mode(SaveMode.Overwrite).partitionBy("unit").parquet(main)
+      .filter(col("unit").isin(affected: _*))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("unit").parquet(main)
     affected
   }
 
@@ -126,7 +140,6 @@ object TripleStore {
       cfg: Pipeline.Config = Pipeline.Config()): Vector[UnitLineage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     // resume is only valid against the same unit partitioning
     val unitsFile = Paths.get(outDir, "lineage", "_units")
@@ -160,7 +173,9 @@ object TripleStore {
     triples
       .repartition(col("unit"))
       .sortWithinPartitions("subj", "pred", "obj")
-      .write.mode(SaveMode.Overwrite).partitionBy("unit").parquet(dataDir(outDir))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("unit").parquet(dataDir(outDir))
 
     // metrics from what was actually committed, then lineage (commit point)
     val pendingUnits = docCounts.keySet

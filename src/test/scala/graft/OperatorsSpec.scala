@@ -62,9 +62,16 @@ class OperatorsSpec extends AnyFunSuite {
       Triple("d1", "http://x/C", true, "F", "R", "has_theme", "http://x/A2", true))
       .toDS()
     val mapping = Seq(("http://x/A2", "http://x/A")).toDF("node", "component")
-    val viaBroadcast = Canonicalize.rewrite(triples, mapping).collect().toSet
-    val viaShuffle = Canonicalize.rewrite(triples, mapping, broadcastMaxRows = 0L)
+    val viaBroadcast = Canonicalize
+      .rewrite(triples, org.apache.spark.sql.functions.broadcast(mapping))
       .collect().toSet
+    val viaShuffle = {
+      // force the shuffled path by disabling both static and AQE broadcast
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try Canonicalize.rewrite(triples, mapping).collect().toSet
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
     assert(viaShuffle == viaBroadcast)
     assert(viaShuffle.forall(t => t.subj != "http://x/A2" && t.obj != "http://x/A2"))
   }
@@ -376,6 +383,54 @@ class OperatorsSpec extends AnyFunSuite {
     // the unrelated doc pairs with nothing
     assert(pairs.filter(col("a") === 3000L || col("b") === 3000L).count() == 0)
     pairs.unpersist()
+  }
+
+  test("blocked clone-pair enumeration: exact pair set, bounded per join key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one 100-member clone group + one 3-member group + a singleton
+    val groups = ((0L until 100L).map(i => (i, 0L)) ++
+      Seq((200L, 200L), (201L, 200L), (202L, 200L), (300L, 300L)))
+      .toDF("id", "rep")
+    val blockSize = 16
+    val pairs = MinHashLsh.clonePairsBlocked(groups, blockSize)
+      .collect().map(p => (p._1, p._2)).toSet
+    val expected = ((for {
+      i <- 0L until 100L; j <- (i + 1) until 100L
+    } yield (i, j)) ++ Seq((200L, 201L), (200L, 202L), (201L, 202L))).toSet
+    assert(pairs == expected)
+    // boundedness: no (rep, bi, bj) join key sees more than blockSize rows
+    // per side, so no task's working set or output is a function of the
+    // full clone-group size (the round-2 scale-killer)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("rep").orderBy("id")
+    val ranked = groups.select(col("id"), col("rep"),
+      ((row_number().over(w) - 1) / blockSize).cast("int").as("blk"))
+    val maxPerBlock = ranked.groupBy("rep", "blk").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxPerBlock <= blockSize)
+  }
+
+  test("near-dup clusters: one assignment per doc, 100k-clone group stays bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val boiler = ("the same boilerplate footer page content mirrored " +
+      "across many hosts with identical wording throughout ") * 3
+    val alt = boiler.replace("identical wording", "slightly altered wording")
+    val far = "completely different text about unrelated topics entirely " * 4
+    // a 100,000-copy clone group: the PAIR contract would be 5e9 rows; the
+    // cluster contract is 100,002 assignment rows
+    val n = 100000L
+    val docs = spark.range(n).as[Long].map(i => (i, boiler))
+      .union(Seq((200000L, alt), (300000L, far)).toDS())
+    val clusters = MinHashLsh.nearDuplicateClusters(docs, threshold = 0.5)
+      .toDF("id", "cluster").cache()
+    assert(clusters.count() == n + 2)
+    // every clone AND the near-dup variant land in doc 0's cluster
+    assert(clusters.filter(col("cluster") === 0L).count() == n + 1)
+    // the unrelated singleton maps to itself
+    assert(clusters.filter(col("id") === 300000L).select("cluster")
+      .as[Long].head() == 300000L)
+    clusters.unpersist()
   }
 
   test("signature estimate tracks exact jaccard within the 3-sigma margin") {

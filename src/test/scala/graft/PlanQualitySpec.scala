@@ -98,6 +98,47 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bucket filter not pushed to partition pruning:\n$p")
   }
 
+  test("CC rounds run over dictionary-encoded LONG ids (strings join back once)") {
+    import spark.implicits._
+    val edges = Seq(("b9", "b10"), ("b10", "zz")).toDF("src", "dst")
+    val (dict, encoded) = graft.canon.Canonicalize.encodeEdges(edges, identity)
+    // the iterative labels inherit encoded's schema: 8-byte longs per round
+    assert(encoded.schema("src").dataType.typeName == "long"
+      && encoded.schema("dst").dataType.typeName == "long", encoded.schema.treeString)
+    // nid order must equal node STRING order, so min-nid == min-string and
+    // the representative contract survives the encoding
+    val byStr = dict.orderBy("node").select("nid").as[Long].collect()
+    assert(byStr.sameElements(byStr.sorted), s"nid not monotone in node order")
+    // end-to-end: the component representative is the lexicographic-min
+    // STRING ("b10" < "b9"), not the numeric-min suffix
+    val cc = graft.canon.Canonicalize.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(cc.values.toSet == Set("b10"), s"wrong representative: $cc")
+  }
+
+  test("canonicalize rewrite builds its plan without running any eager job") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val triples = Seq(graft.model.Triple(
+      "d1", "http://x/A2", true, "F", "R", "has_theme", "http://x/B", true)).toDS()
+    val mapping = Seq(("http://x/A2", "http://x/A")).toDF("node", "component")
+    sc.setJobGroup("rewrite_probe", "plan-construction probe")
+    val planned = graft.canon.Canonicalize.rewrite(triples, mapping)
+    sc.clearJobGroup()
+    sc.setJobGroup("rewrite_flush", "flush")
+    assert(planned.count() == 1)
+    sc.clearJobGroup()
+    // listener delivery is async; the flush job's visibility proves the
+    // bus drained past any probe-group events (FIFO)
+    val tracker = sc.statusTracker
+    val deadline = System.currentTimeMillis() + 20000
+    while (tracker.getJobIdsForGroup("rewrite_flush").isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(tracker.getJobIdsForGroup("rewrite_flush").nonEmpty)
+    assert(tracker.getJobIdsForGroup("rewrite_probe").isEmpty,
+      "rewrite ran an eager job during plan construction (the old count() guard)")
+  }
+
   test("rank window shuffles once on the partition key with group-limit pushdown") {
     val p = plan("q06_window_rank")
     assert(p.contains("hashpartitioning(l_suppkey"),
