@@ -579,6 +579,11 @@ object SparkEntry {
       graft.similarity.Ann.cosineDupPairsLsh(vecs, tau = 0.35, tables = 16, bits = 5)
     }),
 
+    // ---------- S7: DOT graph text export ----------
+    "q64_dot_export" -> ((s, _) =>
+      graft.io.Exports.dotGraphs(
+        graft.io.Exports.enrichedTriples(Materialize.triples(s), Materialize.evals(s)))),
+
     // ---------- multimodal: decode → nearest-neighbor resize → re-decode ----------
     "q59_image_resize" -> ((s, d) => {
       import s.implicits._
@@ -636,6 +641,43 @@ object SparkEntry {
     kws.flatMap(k => cols.map(c => s"contains($c, '$k')")).mkString("(", " OR ", ")")
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** `_clean_node_name_for_dot` (batch_pipeline.py:1008-1024) in DuckDB
+    * terms — mirrors Exports.dotNodeName.
+    */
+  private def dotNodeSql(x: String): String = {
+    val n = s"regexp_replace(regexp_replace($x, '^[\"'']+|[\"'']+$$', '', 'g'), '[<>{}\\[\\]()]', '', 'g')"
+    s"""(CASE WHEN starts_with($n, 'http://en.wikipedia.org/wiki/')
+       |  THEN replace(str_split($n, '/')[-1], '_', ' ')
+       |  WHEN starts_with($n, 'http://') THEN str_split($n, '/')[-1]
+       |  WHEN length($n) > 30 THEN substr($n, 1, 27) || '...'
+       |  ELSE $n END)""".stripMargin
+  }
+
+  /** The J3 enrichment (q55's oracle) as a reusable CTE exposing
+    * `enr(docId, subject, predicate, object, confidence, source_sentence,
+    * extractable)`.
+    */
+  private val enrichedCte: String =
+    s"""$reparseCte,
+       |pl AS (SELECT docId, subject, predicate, object,
+       |  lower(trim(regexp_replace(trim(line), '[;.]$$', ''))) AS lc
+       |  FROM parsed),
+       |enr AS (
+       |SELECT p.docId, p.subject, p.predicate, p.object,
+       |  coalesce((SELECT e.confidence FROM ${mat("evals")} e
+       |    WHERE e.docId = p.docId AND trim(lower(e.eval_triple)) <> ''
+       |      AND (contains(p.lc, trim(lower(e.eval_triple)))
+       |        OR contains(trim(lower(e.eval_triple)), p.lc))
+       |    ORDER BY e.idx LIMIT 1), 0.9) AS confidence,
+       |  coalesce((SELECT e.source_sentence FROM ${mat("evals")} e
+       |    WHERE e.docId = p.docId AND trim(lower(e.eval_triple)) <> ''
+       |      AND (contains(p.lc, trim(lower(e.eval_triple)))
+       |        OR contains(trim(lower(e.eval_triple)), p.lc))
+       |    ORDER BY e.idx LIMIT 1), 'Unknown') AS source_sentence,
+       |  coalesce((SELECT e.extractable FROM ${mat("evals")} e
+       |    WHERE e.docId = p.docId ORDER BY e.idx LIMIT 1), true) AS extractable
+       |FROM pl p)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -966,12 +1008,14 @@ object SparkEntry {
          |       WHEN ${containsAnySql(Seq("ls", "lo"), Seq("mystery", "novel", "book", "writing"))} THEN 'concept_related'
          |       ELSE 'other' END AS category
          |FROM lc""".stripMargin,
+    // nodes cleaned with the DOT cleaner — the reference's _categorize_nodes
+    // classifies _clean_node_name_for_dot output (batch_pipeline.py:946-957)
     "q57_node_classify" ->
       s"""$reparseCte,
          |nodes AS (
-         |  SELECT ${cleanNodeSql("subject")} AS node FROM parsed
+         |  SELECT ${dotNodeSql("subject")} AS node FROM parsed
          |  UNION
-         |  SELECT ${cleanNodeSql("object")} AS node FROM parsed),
+         |  SELECT ${dotNodeSql("object")} AS node FROM parsed),
          |ln AS (SELECT node, lower(node) AS n FROM nodes)
          |SELECT node,
          |  CASE WHEN ${containsAnySql(Seq("n"), Seq("christie", "agatha", "person", "author", "writer"))} THEN 'people'
@@ -981,24 +1025,105 @@ object SparkEntry {
          |       ELSE 'other' END AS category
          |FROM ln""".stripMargin,
     "q55_eval_join" ->
-      s"""$reparseCte,
-         |pl AS (SELECT docId, subject, predicate, object,
-         |  lower(trim(regexp_replace(trim(line), '[;.]$$', ''))) AS lc
-         |  FROM parsed)
-         |SELECT p.docId, p.subject, p.predicate, p.object,
-         |  coalesce((SELECT e.confidence FROM ${mat("evals")} e
-         |    WHERE e.docId = p.docId AND trim(lower(e.eval_triple)) <> ''
-         |      AND (contains(p.lc, trim(lower(e.eval_triple)))
-         |        OR contains(trim(lower(e.eval_triple)), p.lc))
-         |    ORDER BY e.idx LIMIT 1), 0.9) AS confidence,
-         |  coalesce((SELECT e.source_sentence FROM ${mat("evals")} e
-         |    WHERE e.docId = p.docId AND trim(lower(e.eval_triple)) <> ''
-         |      AND (contains(p.lc, trim(lower(e.eval_triple)))
-         |        OR contains(trim(lower(e.eval_triple)), p.lc))
-         |    ORDER BY e.idx LIMIT 1), 'Unknown') AS source_sentence,
-         |  coalesce((SELECT e.extractable FROM ${mat("evals")} e
-         |    WHERE e.docId = p.docId ORDER BY e.idx LIMIT 1), true) AS extractable
-         |FROM pl p""".stripMargin,
+      s"""$enrichedCte
+         |SELECT docId, subject, predicate, object, confidence,
+         |  source_sentence, extractable
+         |FROM enr""".stripMargin,
+    "q64_dot_export" -> {
+      val headerTail = graft.io.Exports.dotHeaderTail.mkString("\n")
+      val colors = graft.io.Exports.DotFrameColors.map(c => s"'$c'")
+        .mkString("[", ",", "]")
+      s"""$enrichedCte,
+         |ed0 AS (
+         |  SELECT docId, subject, predicate, object, confidence, extractable,
+         |    row_number() OVER (PARTITION BY docId
+         |      ORDER BY subject, predicate, object, confidence) AS ord
+         |  FROM enr),
+         |ed AS (
+         |  SELECT docId, ord, predicate, confidence, extractable,
+         |    ${dotNodeSql("subject")} AS sc,
+         |    ${dotNodeSql("object")} AS oc,
+         |    CASE WHEN length(lbl0) > 20 THEN substr(lbl0, 1, 17) || '...'
+         |         ELSE lbl0 END AS pred_clean,
+         |    str_split(predicate, ':')[1] AS frame
+         |  FROM (SELECT *,
+         |    replace(replace(str_split(predicate, ':')[-1], '_', ' '), '#', '') AS lbl0
+         |    FROM ed0)),
+         |fcolor AS (
+         |  SELECT docId, frame,
+         |    ($colors)[CAST((row_number() OVER (PARTITION BY docId ORDER BY min(ord)) - 1)
+         |      % 15 AS INT) + 1] AS fc,
+         |    row_number() OVER (PARTITION BY docId ORDER BY min(ord)) AS ford
+         |  FROM ed GROUP BY docId, frame),
+         |edge_lines AS (
+         |  SELECT e.docId,
+         |    string_agg('    "' || e.sc || '" -> "' || e.oc || '" [label="' ||
+         |      e.pred_clean || ' [' || e.frame || ']' ||
+         |      CASE WHEN e.confidence < 0.5 THEN ' (low conf)'
+         |           WHEN e.confidence < 0.8 THEN ' (med conf)' ELSE '' END ||
+         |      CASE WHEN NOT e.extractable THEN ' (not extractable)' ELSE '' END ||
+         |      '", ' ||
+         |      CASE WHEN contains(lower(e.predicate), 'location') THEN 'color=green, penwidth=2'
+         |           WHEN contains(lower(e.predicate), 'person') THEN 'color=red, penwidth=2'
+         |           WHEN contains(lower(e.predicate), 'time') THEN 'color=purple, penwidth=2'
+         |           WHEN contains(lower(e.predicate), 'topic') THEN 'color=blue, penwidth=2'
+         |           ELSE 'color=' || f.fc || ', penwidth=1' END || '];',
+         |      chr(10) ORDER BY e.ord) AS edges_txt
+         |  FROM ed e JOIN fcolor f ON e.docId = f.docId AND e.frame = f.frame
+         |  GROUP BY e.docId),
+         |nodes AS (
+         |  SELECT DISTINCT docId, node FROM (
+         |    SELECT docId, sc AS node FROM ed UNION ALL SELECT docId, oc FROM ed)),
+         |catn AS (SELECT docId, node,
+         |  CASE WHEN ${containsAnySql(Seq("lower(node)"), Seq("christie", "agatha", "person", "author", "writer"))} THEN 'people'
+         |       WHEN ${containsAnySql(Seq("lower(node)"), Seq("torquay", "england", "place", "location", "city", "country"))} THEN 'locations'
+         |       WHEN ${containsAnySql(Seq("lower(node)"), Seq("born", "death", "died", "event", "happened"))} THEN 'events'
+         |       WHEN ${containsAnySql(Seq("lower(node)"), Seq("mystery", "novel", "book", "work", "writing", "literature"))} THEN 'concepts'
+         |       ELSE 'other' END AS cat
+         |  FROM nodes),
+         |cat_blocks AS (
+         |  SELECT docId, cat,
+         |    '    // ' || CASE cat WHEN 'people' THEN 'People'
+         |        WHEN 'locations' THEN 'Locations' WHEN 'concepts' THEN 'Concepts'
+         |        WHEN 'events' THEN 'Events' ELSE 'Other' END || ' nodes' || chr(10) ||
+         |    string_agg('    "' || node || '" [label="' || node || '", ' ||
+         |      CASE cat WHEN 'people' THEN 'fillcolor=lightcoral, color=red, shape=circle'
+         |           WHEN 'locations' THEN 'fillcolor=lightgreen, color=green, shape=box'
+         |           WHEN 'concepts' THEN 'fillcolor=lightblue, color=blue, shape=ellipse'
+         |           WHEN 'events' THEN 'fillcolor=lightyellow, color=orange, shape=diamond'
+         |           ELSE 'fillcolor=lightgray, color=gray, shape=hexagon' END || '];',
+         |      chr(10) ORDER BY node) AS block
+         |  FROM catn GROUP BY docId, cat),
+         |node_txt AS (
+         |  SELECT docId, string_agg(block || chr(10), chr(10)
+         |    ORDER BY CASE cat WHEN 'people' THEN 0 WHEN 'locations' THEN 1
+         |      WHEN 'concepts' THEN 2 WHEN 'events' THEN 3 ELSE 4 END) AS nodes_txt
+         |  FROM cat_blocks GROUP BY docId),
+         |legend AS (
+         |  SELECT docId,
+         |    string_agg('        "' || frame || '_legend" [label="' || frame ||
+         |      '", fillcolor="' || fc || '", style=filled, shape=box, fontsize=8];',
+         |      chr(10) ORDER BY ford) AS legend_txt
+         |  FROM fcolor GROUP BY docId)
+         |SELECT docId,
+         |  'digraph ' || replace(docId, ' ', '_') || ' {' || chr(10) ||
+         |  ${sqlLit(headerTail)} || chr(10) ||
+         |  n.nodes_txt || chr(10) ||
+         |  '    // Relationships' || chr(10) ||
+         |  e.edges_txt || chr(10) || chr(10) ||
+         |  '    // Frame Legend' || chr(10) ||
+         |  '    subgraph cluster_legend {' || chr(10) ||
+         |  '        label="Semantic Frames";' || chr(10) ||
+         |  '        style=filled;' || chr(10) ||
+         |  '        fillcolor=white;' || chr(10) ||
+         |  '        color=black;' || chr(10) ||
+         |  '        rank=sink;' || chr(10) ||
+         |  l.legend_txt || chr(10) ||
+         |  '    }' || chr(10) || '}' AS dot
+         |FROM edge_lines e
+         |JOIN node_txt n USING (docId)
+         |JOIN legend l USING (docId)""".stripMargin
+    },
     "q56_sparql_templates" -> {
       val full = graft.io.Exports.sparqlTemplateText("@@NAME@@")
       val rest = full.split("@@NAME@@", 2)(1)

@@ -254,11 +254,42 @@ object Exports {
       .otherwise("other")
   }
 
-  /** Distinct re-parsed nodes with their F12 category. */
+  /** _clean_node_name_for_dot (batch_pipeline.py:1008-1024): quotes and
+    * brackets stripped, wiki URIs reduced to their entity name
+    * (underscores → spaces), other http URIs to their last path segment,
+    * everything else truncated to 30 chars. Column and scalar twins —
+    * the scalar feeds the pure [[dotGraphText]] generator.
+    */
+  def dotNodeName(c: Column): Column = {
+    val stripped = regexp_replace(c, "^[\"']+|[\"']+$", "")
+    val n = regexp_replace(stripped, "[<>{}\\[\\]()]", "")
+    when(n.startsWith("http://en.wikipedia.org/wiki/"),
+      regexp_replace(substring_index(n, "/", -1), "_", " "))
+      .when(n.startsWith("http://"), substring_index(n, "/", -1))
+      .when(length(n) > 30, concat(substring(n, 1, 27), lit("...")))
+      .otherwise(n)
+  }
+
+  def dotNodeNameText(name0: String): String = {
+    val stripped = name0.replaceAll("^[\"']+|[\"']+$", "")
+    val n = stripped.replaceAll("[<>{}\\[\\]()]", "")
+    if (n.startsWith("http://en.wikipedia.org/wiki/"))
+      n.substring(n.lastIndexOf('/') + 1).replace('_', ' ')
+    else if (n.startsWith("http://")) n.substring(n.lastIndexOf('/') + 1)
+    else if (n.length > 30) n.substring(0, 27) + "..."
+    else n
+  }
+
+  /** Distinct re-parsed nodes with their F12 category. Nodes are cleaned
+    * with the DOT cleaner (the reference's `_categorize_nodes`,
+    * batch_pipeline.py:946-957, classifies `_clean_node_name_for_dot`
+    * output — wiki-URI entity extraction, 30-char truncation — not the
+    * CSV cleaner).
+    */
   def categorizeNodes(triples: Dataset[Triple]): DataFrame = {
     val t = reparsed(triples)
-    t.select(cleanNodeName(col("subject")).as("node"))
-      .union(t.select(cleanNodeName(col("object")).as("node")))
+    t.select(dotNodeName(col("subject")).as("node"))
+      .union(t.select(dotNodeName(col("object")).as("node")))
       .distinct()
       .select(col("node"), nodeCategory(col("node")).as("category"))
   }
@@ -353,5 +384,195 @@ object Exports {
     import spark.implicits._
     triples.map(_.docId).distinct().map(d => (d, sparqlTemplateText(d)))
       .toDF("docId", "sparql")
+  }
+
+  // ------------------------------------------------------------------
+  // S7: DOT graph text export (batch_pipeline.py:805-926)
+  // ------------------------------------------------------------------
+
+  final case class DotTriple(
+      subject: String,
+      predicate: String,
+      obj: String,
+      confidence: Double,
+      extractable: Boolean)
+
+  /** `_get_frame_color` palette (batch_pipeline.py:645-653) — duplicate
+    * entries included, value-for-value (the reference cycles mod 15).
+    */
+  val DotFrameColors: Vector[String] = Vector(
+    "lightblue", "lightcoral", "lightgreen", "lightyellow", "lightpink",
+    "lightcyan", "lightsteelblue", "lightgray", "lightgoldenrodyellow",
+    "lightseagreen", "lightsalmon", "lightgoldenrod", "lightpink",
+    "lightsteelblue", "lightcoral")
+
+  private val DotClusters = Seq(
+    ("people", "People", "lightcoral", "red", "circle"),
+    ("locations", "Locations", "lightgreen", "green", "box"),
+    ("concepts", "Concepts", "lightblue", "blue", "ellipse"),
+    ("events", "Events", "lightyellow", "orange", "diamond"),
+    ("other", "Other", "lightgray", "gray", "hexagon"))
+
+  /** `_get_node_style` (batch_pipeline.py:959-968). */
+  def dotNodeStyle(category: String): String = DotClusters
+    .collectFirst { case (k, _, fill, color, shape) if k == category =>
+      s"fillcolor=$fill, color=$color, shape=$shape"
+    }.getOrElse("fillcolor=lightgray, color=gray, shape=hexagon")
+
+  /** `_clean_edge_label` as a scalar (the Column twin is [[cleanEdgeLabel]]). */
+  def dotEdgeLabelText(p: String): String = {
+    val base = if (p.contains(":")) p.substring(p.lastIndexOf(':') + 1) else p
+    val l = base.replace("_", " ").replace("#", "")
+    if (l.length > 20) l.substring(0, 17) + "..." else l
+  }
+
+  /** `_extract_frame_from_predicate` as a scalar. */
+  def frameOfPredicateText(p: String): String =
+    if (p.contains(":")) p.substring(0, p.indexOf(':')) else p
+
+  /** `_classify_node_type` as a scalar (Column twin: [[nodeCategory]]). */
+  def classifyNodeText(node: String): String = {
+    val n = graft.util.PyStr.lower(node)
+    def any(ks: String*) = ks.exists(n.contains)
+    if (any("christie", "agatha", "person", "author", "writer")) "people"
+    else if (any("torquay", "england", "place", "location", "city", "country"))
+      "locations"
+    else if (any("born", "death", "died", "event", "happened")) "events"
+    else if (any("mystery", "novel", "book", "work", "writing", "literature"))
+      "concepts"
+    else "other"
+  }
+
+  /** `_get_edge_style` (batch_pipeline.py:970-984): base color/penwidth by
+    * predicate family. `has_location`/`location` etc. collapse to the
+    * substring check (`has_location` contains `location`).
+    */
+  def dotEdgeBaseStyle(pred: String): String = {
+    val p = graft.util.PyStr.lower(pred)
+    if (p.contains("location")) "color=green, penwidth=2"
+    else if (p.contains("person")) "color=red, penwidth=2"
+    else if (p.contains("time")) "color=purple, penwidth=2"
+    else if (p.contains("topic")) "color=blue, penwidth=2"
+    else "color=gray, penwidth=1"
+  }
+
+  /** The constant header lines AFTER the `digraph <name> {` opener —
+    * including the reference's literal `{{`/`}}` quirk (its cluster lines
+    * were written with f-string escapes in a non-f-string list,
+    * batch_pipeline.py:807-871; the golden files carry the doubled
+    * braces, so fidelity requires them).
+    */
+  val dotHeaderTail: Vector[String] = {
+    val sb = Vector.newBuilder[String]
+    sb += "    rankdir=TB;"
+    sb += "    compound=true;"
+    sb += "    node [fontname=\"Arial\", fontsize=12, style=filled];"
+    sb += "    edge [fontname=\"Arial\", fontsize=10, color=gray];"
+    sb += "    "
+    sb += "    // Graph styling"
+    sb += "    bgcolor=white;"
+    sb += "    "
+    sb += "    // Node type definitions"
+    DotClusters.zipWithIndex.foreach { case ((key, label, fill, color, shape), i) =>
+      sb += s"    subgraph cluster_$key {{"
+      sb += s"        label=\"$label\";"
+      sb += "        style=filled;"
+      sb += s"        fillcolor=$fill;"
+      sb += s"        color=$color;"
+      sb += s"        node [fillcolor=$fill, color=$color, shape=$shape];"
+      sb += "    }}"
+      sb += (if (i < DotClusters.size - 1) "    " else "")
+    }
+    sb.result()
+  }
+
+  /** `_generate_dot_content_from_triples` (batch_pipeline.py:805-926) as a
+    * pure function: styled DOT text with color-coded node categories,
+    * frame-colored edges (palette assigned by FIRST APPEARANCE in triple
+    * order), confidence/extractability suffixes on edge labels, and the
+    * frame legend. Edge and legend order follow the input triple order
+    * exactly (the reference iterates its parsed list); node lines within
+    * a category are SORTED — the reference iterates a Python set whose
+    * order is hash-randomized per process, so a deterministic order is a
+    * documented determinism-over-order deviation (DotParitySpec compares
+    * node lines as sets).
+    */
+  def dotGraphText(fileName: String, triples: Seq[DotTriple]): String = {
+    val sb = Vector.newBuilder[String]
+    sb += s"digraph ${fileName.replace(' ', '_')} {"
+    dotHeaderTail.foreach(sb += _)
+
+    val cleaned = triples.map(t => (dotNodeNameText(t.subject), dotNodeNameText(t.obj), t))
+
+    val frameColors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val edges = cleaned.map { case (sc, oc, t) =>
+      val frame = frameOfPredicateText(t.predicate)
+      val color = frameColors.getOrElseUpdate(
+        frame, DotFrameColors(frameColors.size % DotFrameColors.length))
+      val style = dotEdgeBaseStyle(t.predicate)
+        .replace("color=gray", s"color=$color")
+      val lbl = new StringBuilder(dotEdgeLabelText(t.predicate))
+        .append(" [").append(frame).append("]")
+      if (t.confidence < 0.5) lbl.append(" (low conf)")
+      else if (t.confidence < 0.8) lbl.append(" (med conf)")
+      if (!t.extractable) lbl.append(" (not extractable)")
+      "    \"" + sc + "\" -> \"" + oc + "\" [label=\"" + lbl + "\", " + style + "];"
+    }
+
+    val byCat = cleaned.flatMap(c => Seq(c._1, c._2)).distinct
+      .groupBy(classifyNodeText)
+    DotClusters.foreach { case (key, label, _, _, _) =>
+      val nodes = byCat.getOrElse(key, Nil).sorted
+      if (nodes.nonEmpty) {
+        sb += s"    // $label nodes"
+        nodes.foreach(n =>
+          sb += "    \"" + n + "\" [label=\"" + n + "\", " + dotNodeStyle(key) + "];")
+        sb += ""
+      }
+    }
+
+    sb += "    // Relationships"
+    edges.foreach(sb += _)
+
+    if (frameColors.nonEmpty) {
+      sb += ""
+      sb += "    // Frame Legend"
+      sb += "    subgraph cluster_legend {"
+      sb += "        label=\"Semantic Frames\";"
+      sb += "        style=filled;"
+      sb += "        fillcolor=white;"
+      sb += "        color=black;"
+      sb += "        rank=sink;"
+      frameColors.foreach { case (f, c) =>
+        sb += "        \"" + f + "_legend\" [label=\"" + f + "\", fillcolor=\"" +
+          c + "\", style=filled, shape=box, fontsize=8];"
+      }
+      sb += "    }"
+    }
+    sb += "}"
+    sb.result().mkString("\n")
+  }
+
+  /** One (docId, dot) row per document from J3-enriched triples (the
+    * reference builds the DOT from the same enriched list as the CSV,
+    * batch_pipeline.py:446). Doc-local: one shuffle on docId, per-task
+    * working set is a single document's triples. Input rows are sorted
+    * per doc so the text (edge order, frame-color assignment) is
+    * deterministic under distributed execution.
+    */
+  def dotGraphs(enriched: DataFrame): DataFrame = {
+    val spark = enriched.sparkSession
+    import spark.implicits._
+    enriched
+      .select("docId", "subject", "predicate", "object", "confidence", "extractable")
+      .as[(String, String, String, String, Double, Boolean)]
+      .groupByKey(_._1)
+      .mapGroups { (doc, it) =>
+        val ts = it.map { case (_, s, p, o, c, e) => DotTriple(s, p, o, c, e) }
+          .toVector
+          .sortBy(t => (t.subject, t.predicate, t.obj, t.confidence))
+        (doc, dotGraphText(doc, ts))
+      }
+      .toDF("docId", "dot")
   }
 }
