@@ -226,10 +226,18 @@ object SparkEntry {
         .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"))
         .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
     }),
+    // two INDEPENDENT band computations: run A materialized to a fixed
+    // path for DuckDB, run B returned — the oracle gates hash STABILITY
+    // across the two runs plus band structure (16 bands/doc, band∈[0,16))
+    // via filters that drop rows on violation; the hash values themselves
+    // are spec-gated (pure splitmix64/FNV, not ANSI-SQL-expressible)
     "q23_minhash_lsh" -> ((s, d) => {
       import s.implicits._
-      graft.dedup.MinHashLsh.bands(s.read.parquet(t(d, "documents"))
-        .select("doc_id", "text").as[(Long, String)]).toDF()
+      val docs = s.read.parquet(t(d, "documents"))
+        .select("doc_id", "text").as[(Long, String)]
+      graft.dedup.MinHashLsh.bands(docs).toDF()
+        .write.mode("overwrite").parquet("/tmp/graft_q23_bands")
+      graft.dedup.MinHashLsh.bands(docs).toDF()
     }),
     "q24_simhash" -> ((s, d) => {
       // native Expression with doGenCode — stays in whole-stage codegen,
@@ -237,6 +245,17 @@ object SparkEntry {
       graft.expr.SimHash64Expr.register(s)
       s.read.parquet(t(d, "documents"))
         .selectExpr("doc_id", "simhash64(text) AS simhash")
+    }),
+
+    // the scale-path dedup contract: one (doc_id, cluster) assignment per
+    // document (rows-only here — LSH candidate recall is approximate; the
+    // planted-dup + 100k-clone specs are the correctness gate)
+    "q65_near_dup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(d, "documents"))
+        .select("doc_id", "text").as[(Long, String)]
+      graft.dedup.MinHashLsh.nearDuplicateClusters(docs, threshold = 0.5)
+        .toDF("doc_id", "cluster")
     }),
 
     // ---------- text analysis ----------
@@ -584,6 +603,27 @@ object SparkEntry {
       graft.io.Exports.dotGraphs(
         graft.io.Exports.enrichedTriples(Materialize.triples(s), Materialize.evals(s)))),
 
+    // ---------- multimodal: REAL WAV/MP4 header probes ----------
+    // fixtures are pure functions of doc_id (like q41's PNGs), so the real
+    // RIFF-fmt/data and moov/mvhd byte parsing is checkable by arithmetic
+    "q66_av_probe" -> ((s, d) => {
+      import s.implicits._
+      val media = s.read.parquet(t(d, "documents")).select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 2 == 0)
+              graft.multimodal.BinaryFeatures.syntheticWav(
+                (8000 + (id % 8) * 1000).toInt,
+                ((id / 2) % 2 + 1).toInt,
+                (id % 500 + 100).toInt)
+            else
+              graft.multimodal.BinaryFeatures.syntheticMp4(
+                ((id % 9 + 1) * 600).toInt, (id % 100000 + 1000).toInt)
+          (id, bytes)
+        }
+      graft.multimodal.BinaryFeatures.probe(media).toDF()
+    }),
+
     // ---------- multimodal: decode → nearest-neighbor resize → re-decode ----------
     "q59_image_resize" -> ((s, d) => {
       import s.implicits._
@@ -760,6 +800,15 @@ object SparkEntry {
     "q21_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // structural + stability oracle: reads the q23 query's OTHER run — a
+    // violated structure predicate drops rows and fails the row/hash gate
+    "q23_minhash_lsh" ->
+      """SELECT doc_id, band, band_hash FROM (
+        |  SELECT doc_id, band, band_hash,
+        |    count(*) OVER (PARTITION BY doc_id) AS nb
+        |  FROM read_parquet('/tmp/graft_q23_bands/*.parquet')
+        |  WHERE band >= 0 AND band < 16)
+        |WHERE nb = 16""".stripMargin,
     "q22_dedup_norm" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
         | count(*) AS n, min(doc_id) AS keeper
@@ -1157,6 +1206,22 @@ object SparkEntry {
         |  CAST(sum(trunc) AS BIGINT) AS files_truncated,
         |  CAST(count(*) - sum(trunc) AS BIGINT) AS files_kept_original
         |FROM fl""".stripMargin,
+    "q66_av_probe" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+        | CAST(CASE WHEN doc_id % 2 = 0
+        |   THEN 44 + (doc_id % 500 + 100) * ((doc_id // 2) % 2 + 1) * 2
+        |   ELSE 132 END AS INT) AS byte_len,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 1000
+        |   ELSE 0 END AS INT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1
+        |   ELSE 0 END AS INT) AS channels,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS INT) AS bits_per_sample,
+        | CAST(CASE WHEN doc_id % 2 = 0
+        |   THEN ((doc_id % 500 + 100) * 1000) // (8000 + (doc_id % 8) * 1000)
+        |   ELSE ((doc_id % 100000 + 1000) * 1000) // ((doc_id % 9 + 1) * 600)
+        |   END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
     "q59_image_resize" ->
       """SELECT doc_id, 'image' AS kind,
         | CAST(doc_id % 7 + 1 AS INT) AS width,

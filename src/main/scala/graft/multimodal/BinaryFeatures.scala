@@ -127,6 +127,140 @@ object BinaryFeatures {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Audio/video header probes (pure JDK byte parsing — real metadata,
+  // no codec dependency; the payload is never decoded)
+  // ------------------------------------------------------------------
+
+  final case class AvFeatures(
+      doc_id: Long,
+      container: String, // "wav" | "mp4" | "unknown"
+      byte_len: Int,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      duration_ms: Long)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) ""
+    else new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** RIFF/WAVE header probe: walks the chunk list for `fmt ` (sample
+    * rate, channels, bits) and `data` (payload size → duration). Returns
+    * None unless the RIFF/WAVE magic matches.
+    */
+  def probeWav(id: Long, b: Array[Byte]): Option[AvFeatures] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0; var dataLen = -1L
+    while (pos + 8 <= b.length && (rate == 0 || dataLen < 0)) {
+      val id4 = tag(b, pos)
+      val size = le32(b, pos + 4)
+      if (id4 == "fmt " && pos + 24 <= b.length) {
+        channels = le16(b, pos + 10)
+        rate = le32(b, pos + 12).toInt
+        bits = le16(b, pos + 22)
+      } else if (id4 == "data") dataLen = size
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) None
+    else {
+      val byteRate = rate.toLong * channels * bits / 8
+      Some(AvFeatures(id, "wav", b.length, rate, channels, bits,
+        dataLen * 1000L / byteRate))
+    }
+  }
+
+  /** ISO-BMFF (MP4) header probe: walks top-level boxes to `moov`, then
+    * its children to `mvhd` (v0 or v1), yielding timescale + duration.
+    * Sample rate/channels stay 0 — they live in codec-specific sample
+    * entries this probe deliberately does not descend into.
+    */
+  def probeMp4(id: Long, b: Array[Byte]): Option[AvFeatures] = {
+    if (b.length < 16 || tag(b, 4) != "ftyp") return None
+    def findBox(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val size = be32(b, pos)
+        if (size < 8) return None
+        if (tag(b, pos + 4) == name)
+          return Some((pos + 8, math.min(until, pos + size.toInt)))
+        pos += size.toInt
+      }
+      None
+    }
+    for {
+      (moovStart, moovEnd) <- findBox(0, b.length, "moov")
+      (mvhdStart, mvhdEnd) <- findBox(moovStart, moovEnd, "mvhd")
+      if mvhdStart + 4 <= mvhdEnd
+    } yield {
+      val version = b(mvhdStart) & 0xff
+      val (timescale, duration) =
+        if (version == 1 && mvhdStart + 32 <= mvhdEnd)
+          (be32(b, mvhdStart + 20), be64(b, mvhdStart + 24))
+        else (be32(b, mvhdStart + 12), be32(b, mvhdStart + 16))
+      AvFeatures(id, "mp4", b.length, 0, 0, 0,
+        if (timescale > 0) duration * 1000L / timescale else 0L)
+    }
+  }
+
+  /** WAV first, MP4 second, honest "unknown" fallback. */
+  def probeAv(id: Long, bytes: Array[Byte]): AvFeatures =
+    probeWav(id, bytes).orElse(probeMp4(id, bytes))
+      .getOrElse(AvFeatures(id, "unknown", bytes.length, 0, 0, 0, 0L))
+
+  /** Deterministic 16-bit PCM WAV fixture (sawtooth payload). */
+  def syntheticWav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16)
+    out.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < nSamples * channels) { out.putShort(((i * 257) % 32768).toShort); i += 1 }
+    out.array()
+  }
+
+  /** Deterministic minimal MP4 fixture: `ftyp` + `moov`/`mvhd` (v0). */
+  def syntheticMp4(timescale: Int, duration: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(16 + 8 + 108)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    out.putInt(116).put("moov".getBytes)
+    out.putInt(108).put("mvhd".getBytes)
+    out.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification
+      .putInt(timescale).putInt(duration)
+    // rate/volume/reserved/matrix/predefined/next_track: zeros suffice
+    out.array()
+  }
+
+  /** Batched AV probe over (id, payload) rows — same per-partition shape
+    * as [[extract]].
+    */
+  def probe(media: Dataset[(Long, Array[Byte])]): Dataset[AvFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) => probeAv(id, bytes) })
+  }
+
   /** Batched feature extraction over (id, payload) binary rows — the
     * Scala analogue of a pandas-UDF `mapInPandas` stage: per-partition
     * batching, columnar-friendly output schema, no driver involvement.

@@ -433,6 +433,29 @@ class OperatorsSpec extends AnyFunSuite {
     clusters.unpersist()
   }
 
+  test("AV header probes parse real RIFF fmt/data and MP4 mvhd bytes") {
+    import graft.multimodal.BinaryFeatures._
+    val wav = probeAv(1L, syntheticWav(44100, 2, 44100))
+    assert(wav == AvFeatures(1L, "wav", 44 + 44100 * 2 * 2, 44100, 2, 16, 1000L))
+    val mp4 = probeAv(2L, syntheticMp4(600, 1500))
+    assert(mp4 == AvFeatures(2L, "mp4", 132, 0, 0, 0, 2500L))
+    // mvhd version 1 (64-bit duration) — hand-assembled
+    val v1 = java.nio.ByteBuffer.allocate(16 + 8 + 44)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    v1.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    v1.putInt(52).put("moov".getBytes)
+    v1.putInt(44).put("mvhd".getBytes)
+    v1.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+    v1.putLong(0L).putLong(0L) // creation/modification
+    v1.putInt(90000).putLong(450000L) // timescale, duration → 5000 ms
+    assert(probeAv(3L, v1.array()).duration_ms == 5000L)
+    // junk stays honestly unknown
+    assert(probeAv(4L, Array.fill[Byte](64)(7)).container == "unknown")
+    // truncated/garbage headers must not throw
+    assert(probeAv(5L, "RIFFxxxxWAVE".getBytes).container == "unknown")
+    assert(probeAv(6L, Array.emptyByteArray).container == "unknown")
+  }
+
   test("signature estimate tracks exact jaccard within the 3-sigma margin") {
     val base = Vector.tabulate(120)(i => s"tok$i").mkString(" ")
     (1 to 5).foreach { v =>
