@@ -30,7 +30,12 @@ object Bench {
         Seq(("a", "b"), ("b", "c")).toDF("src", "dst")).count()
     } catch { case _: Throwable => }
 
-    val names = SparkEntry.queries.keys.toVector.sorted
+    // SPARK_GRAFT_SKIP: comma-separated query names to exclude — used by
+    // the sf1 scale-up runs to drop documented |n|^2 exact baselines
+    // (q60) whose scale path (q61) is benched instead
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    val names = SparkEntry.queries.keys.toVector.sorted.filterNot(skip)
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
     (1 to Reps).foreach { _ =>

@@ -458,17 +458,23 @@ object SparkEntry {
       graft.metrics.Aggregates.corpusRollup(
         graft.metrics.Aggregates.perDocMetrics(Materialize.enriched(s)))),
 
+    // LSH/IVF hyperparameters derived from |corpus| (Ann.autoBits/
+    // autoNlist): fixed constants measured 20-40x slower at the 10x
+    // scale-up bench because bucket/cell population grew linearly
     "q42_ann_lsh" -> ((s, d) => {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))
         .select("vec_id", "embedding").as[(Long, Array[Float])]
-      graft.similarity.Ann.lshTopK(vecs, k = 5, tables = 16, bits = 4)
+      graft.similarity.Ann.lshTopK(vecs, k = 5, tables = 16,
+        bits = graft.similarity.Ann.autoBits(vecs.count()))
     }),
     "q52_ann_ivf" -> ((s, d) => {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))
         .select("vec_id", "embedding").as[(Long, Array[Float])]
-      graft.similarity.Ann.ivfTopK(vecs, k = 5, nlist = 32, nprobe = 20)
+      val nlist = graft.similarity.Ann.autoNlist(vecs.count())
+      graft.similarity.Ann.ivfTopK(vecs, k = 5, nlist = nlist,
+        nprobe = graft.similarity.Ann.autoNprobe(nlist))
     }),
 
     // A4 at scale: exact distinct (oracled) + an in-query assertion that
@@ -595,7 +601,8 @@ object SparkEntry {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))
         .select("vec_id", "embedding").as[(Long, Array[Float])]
-      graft.similarity.Ann.cosineDupPairsLsh(vecs, tau = 0.35, tables = 16, bits = 5)
+      graft.similarity.Ann.cosineDupPairsLsh(vecs, tau = 0.35, tables = 16,
+        bits = graft.similarity.Ann.autoBits(vecs.count()))
     }),
 
     // ---------- S7: DOT graph text export ----------

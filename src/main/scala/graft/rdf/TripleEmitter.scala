@@ -110,8 +110,22 @@ object TripleEmitter {
   def convert(
       docId: String,
       sentences: Seq[Sentence],
-      entities: Seq[EntityMention]): Vector[Triple] = {
-    val protagonist = Protagonist.select(entities, Protagonist.titleOf(docId))
+      entities: Seq[EntityMention]): Vector[Triple] =
+    convert(docId, sentences, entities, useProtagonist = true)
+
+  /** `useProtagonist = false` ablates the document-protagonist prior
+    * (pronouns then fall through to the deterministic coref chain alone)
+    * — the measurement knob behind the parity-ablation numbers in
+    * BENCH.md.
+    */
+  def convert(
+      docId: String,
+      sentences: Seq[Sentence],
+      entities: Seq[EntityMention],
+      useProtagonist: Boolean): Vector[Triple] = {
+    val protagonist =
+      if (useProtagonist) Protagonist.select(entities, Protagonist.titleOf(docId))
+      else None
     var context = Vector.empty[CtxEntity]
     val seenMentions = mutable.HashSet.empty[String]
     // insertion-ordered dedup on (subj, predUri, obj) — mirrors both

@@ -127,6 +127,34 @@ object Ann {
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // Scale-adaptive hyperparameters
+  // ------------------------------------------------------------------
+  // LSH bucket population n/2^bits and IVF cell population n/nlist must
+  // stay ~constant as the corpus grows, or the within-bucket exact rerank
+  // degenerates quadratically. MEASURED on the 10x scale-up bench
+  // (BENCH.md round 3): fixed bits=4 went 3.7 s -> 76 s (20x at 10x
+  // data), fixed nlist=32 went 2.0 s -> 79 s. With bits ~ log2(n/target)
+  // and nlist ~ n/target the per-bucket work is flat and total work is
+  // ~linear in n (recall is then governed by `tables` / `nprobe`).
+
+  /** bits so that expected bucket size ≈ targetBucket; clamped to the
+    * 48-bit signature space.
+    */
+  def autoBits(n: Long, targetBucket: Int = 128): Int = {
+    val ratio = math.max(1.0, n.toDouble / targetBucket)
+    math.min(40, math.max(4, math.ceil(math.log(ratio) / math.log(2)).toInt))
+  }
+
+  /** nlist so that expected cell size ≈ targetCell. */
+  def autoNlist(n: Long, targetCell: Int = 256): Int =
+    math.min(1 << 16, math.max(16, math.ceil(n.toDouble / targetCell).toInt))
+
+  /** nprobe: a slowly-growing slice of the cell table — constant work per
+    * query as n grows (the standard IVF recall/cost dial).
+    */
+  def autoNprobe(nlist: Int): Int = math.min(64, math.max(8, nlist / 8))
+
   /** LSH-bucketed approximate top-k cosine neighbors for every vector.
     * Output: (qid, nid, sim, rk). Recall improves with more tables /
     * fewer bits (bigger buckets); `bucketCap` bounds per-task memory on

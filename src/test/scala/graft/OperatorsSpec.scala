@@ -456,6 +456,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(probeAv(6L, Array.emptyByteArray).container == "unknown")
   }
 
+  test("ANN auto-sizing keeps bucket/cell population flat as n grows") {
+    import graft.similarity.Ann._
+    // expected bucket size n / 2^bits stays within ~[target/2, target]
+    Seq(2000L, 20000L, 2000000L, 2000000000L).foreach { n =>
+      val b = autoBits(n)
+      val pop = n.toDouble / (1L << b)
+      assert(pop <= 128.0 && b >= 4 && b <= 40, s"n=$n bits=$b pop=$pop")
+    }
+    // sf0.01 keeps its round-2 shape (bits 4 ≈ the old fixed value)
+    assert(autoBits(2000) == 4)
+    assert(autoBits(20000) == 8)
+    // cells stay ≈ targetCell
+    assert(autoNlist(2000) == 16 && autoNlist(20000) == 79)
+    assert(autoNprobe(16) == 8 && autoNprobe(1024) == 64)
+  }
+
   test("signature estimate tracks exact jaccard within the 3-sigma margin") {
     val base = Vector.tabulate(120)(i => s"tok$i").mkString(" ")
     (1 to 5).foreach { v =>

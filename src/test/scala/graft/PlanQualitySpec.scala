@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression guards: the properties that make these queries
@@ -137,6 +139,57 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(tracker.getJobIdsForGroup("rewrite_flush").nonEmpty)
     assert(tracker.getJobIdsForGroup("rewrite_probe").isEmpty,
       "rewrite ran an eager job during plan construction (the old count() guard)")
+  }
+
+  test("rewrite join under a planted head-entity skew gets AQE skew-split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30% of 300k triples share ONE canonicalized subject — the
+    // wiki/Americans shape the canonicalization operator exists for. The
+    // broadcast path is disabled (at web scale the mapping is too big to
+    // broadcast), and the AQE skew thresholds are lowered to match the
+    // test's data volume; at real scale the defaults (256 MB) play the
+    // same role.
+    val head = "http://en.wikipedia.org/wiki/Americans_variant"
+    val triples = spark.range(300000)
+      .select(
+        concat(lit("doc"), pmod(col("id"), lit(997))).as("docId"),
+        when(pmod(col("id"), lit(10)) < 3, lit(head))
+          .otherwise(concat(lit("http://x/e"), col("id"))).as("subj"),
+        lit(true).as("subjIsUri"),
+        lit("F").as("frame"), lit("R").as("role"), lit("has_theme").as("pred"),
+        concat(lit("o"), col("id")).as("obj"), lit(false).as("objIsUri"))
+      .as[graft.model.Triple]
+    val mapping = spark.range(60000)
+      .select(concat(lit("http://x/e"), col("id")).as("node"),
+        concat(lit("http://x/c"), pmod(col("id"), lit(100))).as("component"))
+      .union(Seq((head, "http://en.wikipedia.org/wiki/Americans"))
+        .toDF("node", "component"))
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevT = spark.conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB")
+    val prevA = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    // skew detection is median-relative (factor 5): enough partitions that
+    // the hot key dominates its partition, as it would on a real cluster
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val out = graft.canon.Canonicalize.rewrite(triples, mapping).toDF()
+      // execute THIS QueryExecution (count() would build its own), so the
+      // inspected plan is the AQE-finalized one
+      assert(out.toLocalIterator().asScala.size == 300000)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE did not skew-split the head-entity join:\n${plan.take(4000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevT)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevA)
+      spark.conf.set("spark.sql.shuffle.partitions", prevP)
+    }
   }
 
   test("rank window shuffles once on the partition key with group-limit pushdown") {
