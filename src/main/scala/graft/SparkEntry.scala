@@ -701,6 +701,75 @@ object SparkEntry {
        |  ELSE $n END)""".stripMargin
   }
 
+  // ---------- 64-bit wrapping hash arithmetic in DuckDB ----------
+  // The native simhash64/fingerprint64 Expressions are pure deterministic
+  // functions, so they CAN be value-level oracled: HUGEINT (INT128)
+  // carries the unsigned-64 state; multiplies by ~2^64 constants are
+  // split into 32-bit halves so the 128-bit product never overflows; the
+  // final value maps back to signed BIGINT. Intermediates are bound as
+  // lambda variables via staged list_transform passes (no macro blow-up).
+
+  private val M64 = "18446744073709551616::HUGEINT"
+  private val M32 = "4294967296::HUGEINT"
+
+  /** `xor(z, z >>> shift) * c` in wrapping unsigned-64 arithmetic. */
+  private def mulModAfterXorShift(z: String, shift: Int, c: BigInt): String = {
+    val d = c >> 32
+    val e = c & 0xffffffffL
+    val y = s"xor($z, $z // ${1L << shift}::HUGEINT)"
+    val a = s"($y // $M32)"
+    val b = s"($y % $M32)"
+    s"(((($a * ${e}::HUGEINT + $b * ${d}::HUGEINT) % $M32) * $M32 + $b * ${e}::HUGEINT) % $M64)"
+  }
+
+  private def toSigned64(uh: String): String =
+    s"(CASE WHEN $uh >= 9223372036854775808::HUGEINT THEN $uh - $M64 ELSE $uh END)::BIGINT"
+
+  /** Java `String.hashCode` (32-bit wrapping), sign-extended to the
+    * unsigned-64 representation of its `toLong` value.
+    */
+  private val javaHashU64: String = {
+    val h32 = "list_reduce(list_prepend(0::HUGEINT, list_transform(string_split(t, ''), " +
+      "c -> unicode(c)::HUGEINT)), (h, c) -> (31::HUGEINT*h + c) % " + M32 + ")"
+    s"(CASE WHEN $h32 >= 2147483648::HUGEINT THEN $h32 + $M64 - $M32 ELSE $h32 END)"
+  }
+
+  private val simhashOracleSql: String = {
+    val pows = (0 until 64).map(i => s"${BigInt(1) << i}::HUGEINT").mkString("[", ",", "]")
+    s"""WITH t0 AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(lower(text), '\\S+'), t -> $javaHashU64) AS h0
+       |  FROM documents),
+       |t1 AS (SELECT doc_id,
+       |  list_transform(h0, z -> (z + 11400714819323198485::HUGEINT) % $M64) AS h1 FROM t0),
+       |t2 AS (SELECT doc_id,
+       |  list_transform(h1, z -> ${mulModAfterXorShift("z", 30, BigInt("bf58476d1ce4e5b9", 16))}) AS h2 FROM t1),
+       |t3 AS (SELECT doc_id,
+       |  list_transform(h2, z -> ${mulModAfterXorShift("z", 27, BigInt("94d049bb133111eb", 16))}) AS h3 FROM t2),
+       |t4 AS (SELECT doc_id,
+       |  list_transform(h3, z -> xor(z, z // 2147483648::HUGEINT)) AS hs FROM t3),
+       |s AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform($pows, p ->
+       |      CASE WHEN 2*len(list_filter(hs, h -> (h // p) % 2 = 1)) > len(hs)
+       |           THEN p ELSE 0::HUGEINT END))::HUGEINT AS uh
+       |  FROM t4)
+       |SELECT doc_id, ${toSigned64("uh")} AS simhash FROM s""".stripMargin
+  }
+
+  private val fingerprintOracleSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    array_to_string(regexp_extract_all(lower(text), '\\S+'), ' ') AS norm
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(1469598103934665603::HUGEINT,
+       |      list_transform(string_split(norm, ''), c -> unicode(c)::HUGEINT)),
+       |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % $M64) AS uh
+       |  FROM n)
+       |SELECT doc_id, ${toSigned64("uh")} AS fingerprint FROM f""".stripMargin
+
   /** The J3 enrichment (q55's oracle) as a reusable CTE exposing
     * `enr(docId, subject, predicate, object, confidence, source_sentence,
     * extractable)`.
@@ -807,6 +876,10 @@ object SparkEntry {
     "q21_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // value-level mirrors of the native hash Expressions (wrapping 64-bit
+    // arithmetic reconstructed in DuckDB HUGEINT; see simhashOracleSql)
+    "q24_simhash" -> simhashOracleSql,
+    "q28_fingerprint" -> fingerprintOracleSql,
     // structural + stability oracle: reads the q23 query's OTHER run — a
     // violated structure predicate drops rows and fails the row/hash gate
     "q23_minhash_lsh" ->

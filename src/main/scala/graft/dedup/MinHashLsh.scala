@@ -251,18 +251,48 @@ object MinHashLsh {
       cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap)
 
     val clonePairs = clonePairsBlocked(groups, cloneBlockSize)
+    val expanded = expandRepPairsBlocked(groups, repPairs, cloneBlockSize)
+    expanded.union(clonePairs)
+  }
 
-    // expand representative pairs back through their clone groups
-    val expanded = repPairs
-      .join(groups.withColumnRenamed("rep", "ra").withColumnRenamed("id", "ea"), "ra")
-      .join(groups.withColumnRenamed("rep", "rb").withColumnRenamed("id", "eb"), "rb")
+  /** Expand verified representative pairs back through their clone
+    * groups, BLOCKED on both sides: pair (ra, rb) between an |A|-clone
+    * and a |B|-clone group yields |A|·|B| output pairs — inherent to the
+    * pair contract — but a plain join keyed on ra/rb would compute each
+    * pair's whole product in ONE task (two mutually-near-dup boilerplate
+    * groups = the same blow-up shape the clone enumeration had). Members
+    * of each side are split into blocks of `blockSize` and every
+    * (ra, rb, blockA, blockB) cell becomes an independent join key.
+    */
+  private[graft] def expandRepPairsBlocked(
+      groups: DataFrame,
+      repPairs: DataFrame,
+      blockSize: Int): Dataset[(Long, Long, Double)] = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("rep").orderBy("id")
+    val ranked = groups
+      .select(col("id"), col("rep"),
+        ((row_number().over(w) - 1) / blockSize).cast("int").as("blk"))
+    val nBlocks = ranked.groupBy("rep").agg(max("blk").as("max_blk"))
+    // left: members of ra, replicated across rb's blocks
+    val lhs = repPairs
+      .join(ranked.select(col("rep").as("ra"), col("id").as("ea"), col("blk").as("bi")), "ra")
+      .join(nBlocks.select(col("rep").as("rb"), col("max_blk").as("max_b")), "rb")
+      .select(col("ra"), col("rb"), col("j"), col("ea"), col("bi"),
+        explode(sequence(lit(0), col("max_b"))).as("bj"))
+    // right: members of rb, replicated across ra's blocks
+    val rhs = repPairs.select(col("ra"), col("rb"))
+      .join(ranked.select(col("rep").as("rb"), col("id").as("eb"), col("blk").as("bj")), "rb")
+      .join(nBlocks.select(col("rep").as("ra"), col("max_blk").as("max_a")), "ra")
+      .select(col("ra"), col("rb"), col("eb"), col("bj"),
+        explode(sequence(lit(0), col("max_a"))).as("bi"))
+    lhs.join(rhs, Seq("ra", "rb", "bi", "bj"))
       .select(
         least(col("ea"), col("eb")).as("a"),
         greatest(col("ea"), col("eb")).as("b"),
         col("j"))
       .as[(Long, Long, Double)]
-
-    expanded.union(clonePairs)
   }
 
   /** Scale-path near-dup contract: one (doc_id, cluster) assignment per

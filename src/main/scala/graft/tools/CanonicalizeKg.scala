@@ -56,8 +56,11 @@ object CanonicalizeKg {
     }
 
     val t0 = System.nanoTime()
+    // the mapping here is bounded by the bundled alias dictionary, so the
+    // broadcast hint is safe and skips the fact table's shuffle-write
     val canon = Canonicalize.canonicalize(
-      triples, mentionUri, Canonicalize.defaultAmbiguousSurfaces, checkpoint)
+      triples, mentionUri, Canonicalize.defaultAmbiguousSurfaces, checkpoint,
+      hintBroadcastMapping = true)
     // same store layout as BuildKg ($out/data/bucket=*) so ExportKg and
     // TripleStore.read chain off either stage interchangeably
     TripleStore.write(canon, s"$out/data")

@@ -96,6 +96,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows() == Set(("u1", "new"), ("u2", "keep")))
   }
 
+  test("upsertDocs staging holds only the current batch's units, conf untouched") {
+    import spark.implicits._
+    import graft.io.TripleStore
+    val store = java.nio.file.Files.createTempDirectory("upsert_stage").toString
+    val overwriteModeBefore =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    // find two docIds hashing to different units
+    val ids = (1 to 50).map(i => s"doc$i")
+    val unitOf = ids.map { id =>
+      id -> spark.range(1).select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.lit(id)),
+          org.apache.spark.sql.functions.lit(4)).cast("int")).as[Int].head()
+    }.toMap
+    val (dA, dB) = {
+      val a = ids.head
+      (a, ids.find(b => unitOf(b) != unitOf(a)).get)
+    }
+    def one(d: String, v: String) =
+      Seq(Triple(d, "http://x/A", true, "F", "R", "has_theme", v, false)).toDS()
+    val u1 = TripleStore.upsertDocs(one(dA, "a1"), store, units = 4)
+    val u2 = TripleStore.upsertDocs(one(dB, "b1"), store, units = 4)
+    assert(u1 != u2)
+    // the round-2 bug: staging accumulated unit partitions across batches,
+    // so batch 2's second hop rewrote (and could silently revert) batch
+    // 1's units. Staging must now hold ONLY batch 2's unit.
+    val stagingUnits = spark.read.parquet(s"$store/_staging")
+      .select("unit").distinct().as[Int].collect().toSet
+    assert(stagingUnits == u2.toSet, s"staging leaked units: $stagingUnits vs $u2")
+    // both docs present in main
+    val docs = spark.read.parquet(s"$store/data")
+      .select("docId").distinct().as[String].collect().toSet
+    assert(docs == Set(dA, dB))
+    // the writer-scoped overwrite mode did not mutate the session conf
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      == overwriteModeBefore)
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val df = Seq.tabulate(1000)(i => (i % 7, i.toDouble)).toDF("k", "v")
@@ -408,6 +447,18 @@ class OperatorsSpec extends AnyFunSuite {
     val maxPerBlock = ranked.groupBy("rep", "blk").count()
       .agg(max("count")).as[Long].head()
     assert(maxPerBlock <= blockSize)
+  }
+
+  test("blocked rep-pair expansion: exact |A|x|B| pair set across block cells") {
+    import spark.implicits._
+    val groups = ((0L until 10L).map(i => (i, 0L)) ++
+      (100L until 105L).map(i => (i, 100L))).toDF("id", "rep")
+    val repPairs = Seq((0L, 100L, 0.7)).toDF("ra", "rb", "j")
+    val out = MinHashLsh.expandRepPairsBlocked(groups, repPairs, blockSize = 3)
+      .collect().toSet
+    val expected = (for { a <- 0L until 10L; b <- 100L until 105L }
+      yield (a, b, 0.7)).toSet
+    assert(out == expected)
   }
 
   test("near-dup clusters: one assignment per doc, 100k-clone group stays bounded") {
