@@ -324,6 +324,13 @@ object SparkEntry {
       s.read.parquet(t(d, "documents"))
         .selectExpr("doc_id", "fingerprint64(text) AS fingerprint")
     }),
+    // winnowing-style k-gram min fingerprint (robust to local edits)
+    "q67_winnow_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) => (id, graft.text.Fingerprint.kgramMin64(text)) }
+        .toDF("doc_id", "winnow")
+    }),
 
     // ---------- embeddings / similarity ----------
     "q29_embed_norm" -> ((s, d) => {
@@ -880,6 +887,30 @@ object SparkEntry {
     // arithmetic reconstructed in DuckDB HUGEINT; see simhashOracleSql)
     "q24_simhash" -> simhashOracleSql,
     "q28_fingerprint" -> fingerprintOracleSql,
+    // winnowing mirror: FNV per k-char window, MIN taken over the SIGNED
+    // values (the Scala loop compares Longs), short texts fall back to
+    // the whole-string rolling hash
+    "q67_winnow_fingerprint" -> {
+      val winFnv = s"""list_reduce(list_prepend(1469598103934665603::HUGEINT,
+        | list_transform(string_split(substr(norm, i, 8), ''), c -> unicode(c)::HUGEINT)),
+        | (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % $M64)""".stripMargin
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    array_to_string(regexp_extract_all(lower(text), '\\S+'), ' ') AS norm
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, norm,
+         |    list_reduce(list_prepend(1469598103934665603::HUGEINT,
+         |      list_transform(string_split(norm, ''), c -> unicode(c)::HUGEINT)),
+         |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % $M64) AS uh_full
+         |  FROM n)
+         |SELECT doc_id,
+         |  CASE WHEN length(norm) <= 8 THEN ${toSigned64("uh_full")}
+         |  ELSE list_min(list_transform(range(1, length(norm) - 8 + 2), i ->
+         |    ${toSigned64(s"($winFnv)")}))
+         |  END AS winnow
+         |FROM r""".stripMargin
+    },
     // structural + stability oracle: reads the q23 query's OTHER run — a
     // violated structure predicate drops rows and fails the row/hash gate
     "q23_minhash_lsh" ->

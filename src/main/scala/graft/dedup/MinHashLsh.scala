@@ -239,6 +239,16 @@ object MinHashLsh {
       .as[(Long, Long, Double)]
   }
 
+  /** Per-task output for BOTH enumeration strategies is bounded by
+    * blockSize²: when every clone group fits in one block the direct
+    * single-shuffle paths already meet the bound (m(m−1)/2 ≤ blockSize²
+    * and |A|·|B| ≤ blockSize²), so the blocked machinery (two window
+    * ranks + explodes + wider joins — ~8 extra stages of fixed latency,
+    * measured 3.3× on the sf0.1 bench where no group exceeds a handful
+    * of clones) engages adaptively, only when a group is bigger than one
+    * block. One cheap max-group-size job on the cached membership makes
+    * the decision.
+    */
   def nearDuplicatePairs(
       docs: Dataset[(Long, String)],
       threshold: Double = 0.8,
@@ -250,9 +260,50 @@ object MinHashLsh {
     val (groups, repPairs) =
       cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap)
 
-    val clonePairs = clonePairsBlocked(groups, cloneBlockSize)
-    val expanded = expandRepPairsBlocked(groups, repPairs, cloneBlockSize)
+    val maxGroup = groups.groupBy("rep").agg(count(lit(1)).as("n"))
+      .agg(max("n")).as[Option[Long]].head().getOrElse(0L)
+
+    val clonePairs =
+      if (maxGroup <= cloneBlockSize) clonePairsDirect(groups)
+      else clonePairsBlocked(groups, cloneBlockSize)
+    val expanded =
+      if (maxGroup <= cloneBlockSize) expandRepPairsDirect(groups, repPairs)
+      else expandRepPairsBlocked(groups, repPairs, cloneBlockSize)
     expanded.union(clonePairs)
+  }
+
+  /** Single-shuffle clone enumeration — valid only when every group fits
+    * one block (per-task output then ≤ blockSize² by construction).
+    */
+  private def clonePairsDirect(groups: DataFrame): Dataset[(Long, Long, Double)] = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    groups.select("id", "rep").as[(Long, Long)].groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray.sorted
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j), 1.0)
+      }
+  }
+
+  /** Two-join expansion — same small-group precondition as
+    * [[clonePairsDirect]].
+    */
+  private def expandRepPairsDirect(
+      groups: DataFrame,
+      repPairs: DataFrame): Dataset[(Long, Long, Double)] = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    repPairs
+      .join(groups.withColumnRenamed("rep", "ra").withColumnRenamed("id", "ea"), "ra")
+      .join(groups.withColumnRenamed("rep", "rb").withColumnRenamed("id", "eb"), "rb")
+      .select(
+        least(col("ea"), col("eb")).as("a"),
+        greatest(col("ea"), col("eb")).as("b"),
+        col("j"))
+      .as[(Long, Long, Double)]
   }
 
   /** Expand verified representative pairs back through their clone

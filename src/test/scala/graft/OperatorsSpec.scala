@@ -449,6 +449,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(maxPerBlock <= blockSize)
   }
 
+  test("adaptive clone enumeration: blocked and direct paths agree exactly") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river today"
+    val near = base.replace("today", "tomorrow")
+    // 20 clones of base + 3 clones of near + 1 singleton
+    val docs = ((0L until 20L).map(i => (i, base)) ++
+      (100L until 103L).map(i => (i, near)) ++ Seq((200L, "something else entirely unrelated text"))).toDS()
+    // cloneBlockSize=8 forces the blocked paths (max group 20 > 8);
+    // 4096 takes the direct paths — the outputs must be identical
+    val blocked = MinHashLsh.nearDuplicatePairs(docs, threshold = 0.5, cloneBlockSize = 8)
+      .collect().toSet
+    val direct = MinHashLsh.nearDuplicatePairs(docs, threshold = 0.5, cloneBlockSize = 4096)
+      .collect().toSet
+    assert(blocked == direct)
+    assert(blocked.count(_._3 == 1.0) == 190 + 3) // C(20,2) + C(3,2)
+    assert(blocked.exists(p => p._1 < 100 && p._2 >= 100)) // cross-group near-dups
+  }
+
   test("blocked rep-pair expansion: exact |A|x|B| pair set across block cells") {
     import spark.implicits._
     val groups = ((0L until 10L).map(i => (i, 0L)) ++
@@ -482,6 +500,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters.filter(col("id") === 300000L).select("cluster")
       .as[Long].head() == 300000L)
     clusters.unpersist()
+  }
+
+  test("winnowing k-gram min fingerprint: normalization, subsets, short path") {
+    import graft.text.Fingerprint._
+    // whitespace-normalization invariance
+    assert(kgramMin64("alpha  beta\tgamma") == kgramMin64("alpha beta gamma"))
+    // windows of A survive in A++B, so the min can only decrease
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = a + " and then some more unrelated trailing words"
+    assert(kgramMin64(b) <= kgramMin64(a))
+    // short strings fall back to the whole-string rolling hash
+    assert(kgramMin64("ab cd") == rolling64("ab cd"))
+    // local-edit robustness in practice: one changed word far from the
+    // min window usually preserves the fingerprint — check it at least
+    // differs from an unrelated text
+    assert(kgramMin64(a) != kgramMin64("completely different content here entirely"))
   }
 
   test("AV header probes parse real RIFF fmt/data and MP4 mvhd bytes") {
