@@ -608,8 +608,11 @@ object SparkEntry {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))
         .select("vec_id", "embedding").as[(Long, Array[Float])]
+      // tighter buckets than the top-k path (targetBucket 64): near-dup
+      // candidates only need pairs ABOVE tau, so smaller buckets lose
+      // little recall and skip most sub-threshold work
       graft.similarity.Ann.cosineDupPairsLsh(vecs, tau = 0.35, tables = 16,
-        bits = graft.similarity.Ann.autoBits(vecs.count()))
+        bits = graft.similarity.Ann.autoBits(vecs.count(), targetBucket = 64))
     }),
 
     // ---------- S7: DOT graph text export ----------

@@ -129,7 +129,24 @@ object Canonicalize {
       edges: DataFrame,
       maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      convergeEvery: Int = 2): DataFrame = {
+      convergeEvery: Int = 2): DataFrame =
+    connectedComponents(edges, maxIter, checkpointDir, convergeEvery,
+      encodeMinEdges = 1000000L)
+
+  /** @param encodeMinEdges dictionary-encode only when the (materialized)
+    *   bidirected edge list is at least this large: below it the string
+    *   shuffles are trivially small and the encode/decode's ~6 extra
+    *   stages are pure fixed latency (measured ~1 s on the sf0.1 bench's
+    *   few-hundred-edge graphs); above it 8-byte-id rounds cut per-round
+    *   shuffle bytes several-fold. The count is taken on the
+    *   checkpointed edge list — a metadata-cheap job, not a recompute.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int,
+      checkpointDir: Option[String],
+      convergeEvery: Int,
+      encodeMinEdges: Long): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
@@ -162,71 +179,84 @@ object Canonicalize {
       dirsOf.filterInPlace { case (df, _) => live.exists(_ eq df) }
     }
 
-    val (dict, encoded) = encodeEdges(edges, save)
-    val byName = (as: String) => dict
-      .select(col("node").as(as), col("nid").as(s"${as}_id"))
+    // min-label propagation with pointer jumping — label type agnostic
+    // (runs over string labels on small graphs, encoded longs at scale)
+    def ccLoop(bidir: DataFrame, pinned: Seq[DataFrame]): DataFrame = {
+      // seed with round 1 for free: every node starts at min(self,
+      // neighbors) — one groupBy instead of the loop's join+union+groupBy
+      // (bidir is symmetric, so every node appears on the src side)
+      var labels = save(
+        bidir.select(col("src").as("node"), col("dst").as("component"))
+          .union(bidir.select(col("src").as("node"), col("src").as("component")))
+          .groupBy("node").agg(min("component").as("component")))
 
-    val bidir = save(
-      encoded.union(encoded.select(col("dst").as("src"), col("src").as("dst")))
+      var converged = false
+      var iter = 0
+      var prev = labels
+      var lastChecked = labels
+      while (!converged && iter < maxIter) {
+        prev = labels
+        val viaNeighbors = bidir
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("component"))
+        // pointer jumping (path compression) off the previous round's
+        // labels (safe self-join: labels is checkpointed, lineage already
+        // broken): node n with label c adopts c's own label — O(log
+        // diameter) rounds instead of O(diameter), the difference between
+        // ~40 and ~6 shuffle rounds at web scale
+        val jumped = labels
+          .join(
+            labels.select(col("node").as("component"), col("component").as("jump")),
+            Seq("component"))
+          .select(col("node"), col("jump").as("component"))
+        labels = save(
+          labels.select(col("node"), col("component"))
+            .union(viaNeighbors)
+            .union(jumped)
+            .groupBy("node").agg(min("component").as("component")))
+        iter += 1
+        if (iter % convergeEvery == 0 || iter == maxIter) {
+          def changedVs(base: DataFrame): Long = labels
+            .join(base.withColumnRenamed("component", "old"), "node")
+            .filter(col("component") =!= col("old")).count()
+          converged = changedVs(lastChecked) == 0
+          // min-labels only ever decrease, so unchanged-since-k-rounds-ago
+          // implies converged; at the cap, fall back to the one-round
+          // check so convergence ON round maxIter-1/maxIter is not
+          // misreported
+          if (!converged && iter == maxIter) converged = changedVs(prev) == 0
+          lastChecked = labels
+        }
+        gcExcept(pinned ++ Seq(bidir, labels, prev, lastChecked))
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIter rounds — " +
+            "raise maxIter (components would be silently split otherwise)")
+      labels
+    }
+
+    val bidirStr = save(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
 
-    // seed with round 1 for free: every node starts at min(self, neighbors)
-    // — one groupBy instead of the loop's join+union+groupBy (bidir is
-    // symmetric, so every node appears on the src side)
-    var labels = save(
-      bidir.select(col("src").as("node"), col("dst").as("component"))
-        .union(bidir.select(col("src").as("node"), col("src").as("component")))
-        .groupBy("node").agg(min("component").as("component")))
-
-    var converged = false
-    var iter = 0
-    var prev = labels
-    var lastChecked = labels
-    while (!converged && iter < maxIter) {
-      prev = labels
-      val viaNeighbors = bidir
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("component"))
-      // pointer jumping (path compression) off the previous round's labels
-      // (safe self-join: labels is checkpointed, lineage already broken):
-      // node n with label c adopts c's own label — O(log diameter) rounds
-      // instead of O(diameter), the difference between ~40 and ~6 shuffle
-      // rounds at web scale
-      val jumped = labels
-        .join(
-          labels.select(col("node").as("component"), col("component").as("jump")),
-          Seq("component"))
-        .select(col("node"), col("jump").as("component"))
-      labels = save(
-        labels.select(col("node"), col("component"))
-          .union(viaNeighbors)
-          .union(jumped)
-          .groupBy("node").agg(min("component").as("component")))
-      iter += 1
-      if (iter % convergeEvery == 0 || iter == maxIter) {
-        def changedVs(base: DataFrame): Long = labels
-          .join(base.withColumnRenamed("component", "old"), "node")
-          .filter(col("component") =!= col("old")).count()
-        converged = changedVs(lastChecked) == 0
-        // min-labels only ever decrease, so unchanged-since-k-rounds-ago
-        // implies converged; at the cap, fall back to the one-round check
-        // so convergence ON round maxIter-1/maxIter is not misreported
-        if (!converged && iter == maxIter) converged = changedVs(prev) == 0
-        lastChecked = labels
-      }
-      gcExcept(Seq(dict, bidir, labels, prev, lastChecked))
+    if (bidirStr.count() < encodeMinEdges) {
+      // small graph: string labels directly (min-string == the contract)
+      ccLoop(bidirStr, Seq.empty)
+    } else {
+      val (dict, encoded) = encodeEdges(bidirStr, save)
+      val byName = (as: String) => dict
+        .select(col("node").as(as), col("nid").as(s"${as}_id"))
+      val bidir = save(encoded) // bidirStr is already bidirected + distinct
+      val labels = ccLoop(bidir, Seq(dict))
+      // decode ids back to strings (once, after convergence)
+      labels
+        .join(byName("node_str").withColumnRenamed("node_str_id", "node"), "node")
+        .join(byName("comp_str").withColumnRenamed("comp_str_id", "component"),
+          "component")
+        .select(col("node_str").as("node"), col("comp_str").as("component"))
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds — " +
-          "raise maxIter (components would be silently split otherwise)")
-
-    // decode ids back to strings (once, after convergence)
-    labels
-      .join(byName("node_str").withColumnRenamed("node_str_id", "node"), "node")
-      .join(byName("comp_str").withColumnRenamed("comp_str_id", "component"),
-        "component")
-      .select(col("node_str").as("node"), col("comp_str").as("component"))
   }
 
   /** Rewrite triple subj/obj URIs to their component representative.

@@ -111,11 +111,18 @@ class PlanQualitySpec extends AnyFunSuite {
     // the representative contract survives the encoding
     val byStr = dict.orderBy("node").select("nid").as[Long].collect()
     assert(byStr.sameElements(byStr.sorted), s"nid not monotone in node order")
-    // end-to-end: the component representative is the lexicographic-min
-    // STRING ("b10" < "b9"), not the numeric-min suffix
-    val cc = graft.canon.Canonicalize.connectedComponents(edges)
+    // end-to-end on the FORCED encoded path (encodeMinEdges=0): the
+    // component representative is the lexicographic-min STRING
+    // ("b10" < "b9"), not the numeric-min suffix — the encoding must not
+    // change the contract
+    val cc = graft.canon.Canonicalize
+      .connectedComponents(edges, 20, None, 2, encodeMinEdges = 0L)
       .as[(String, String)].collect().toMap
     assert(cc.values.toSet == Set("b10"), s"wrong representative: $cc")
+    // and the small-graph string path agrees exactly
+    val ccSmall = graft.canon.Canonicalize.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(ccSmall == cc)
   }
 
   test("canonicalize rewrite builds its plan without running any eager job") {
