@@ -484,6 +484,30 @@ object SparkEntry {
         nprobe = graft.similarity.Ann.autoNprobe(nlist))
     }),
 
+    // quantile summary: exact discrete percentiles (SQL-standard
+    // percentile_disc) oracled value-for-value, plus an in-query gate
+    // that the t-digest approx_percentile lands within 1% relative error
+    // (the sketch values themselves are engine-specific — the BOUND is
+    // the checkable contract, same pattern as q46)
+    "q68_quantiles" -> ((s, d) => {
+      val li = s.read.parquet(t(d, "lineitem"))
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      val aggs = probs.flatMap { p =>
+        val tag = (p * 100).toInt
+        Seq(
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as(s"p$tag"),
+          expr(s"approx_percentile(l_extendedprice, ${p}D, 10000)").as(s"a$tag"))
+      }
+      val row = li.agg(aggs.head, aggs.tail: _*)
+      probs.foldLeft(row) { (df, p) =>
+        val tag = (p * 100).toInt
+        df.withColumn(s"ok$tag",
+          abs(col(s"a$tag") - col(s"p$tag")) <= abs(col(s"p$tag")) * 0.01)
+          .drop(s"a$tag")
+      }
+    }),
+
     // A4 at scale: exact distinct (oracled) + an in-query assertion that
     // the HLL estimate lands within its 1% target (the estimate itself is
     // engine-specific, the *bound* is the checkable contract)
@@ -1113,6 +1137,22 @@ object SparkEntry {
     "q46_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
         |FROM lineitem""".stripMargin,
+    // SQL-standard percentile_disc spelled out explicitly (smallest value
+    // whose cumulative distribution >= p, i.e. the element at row
+    // ceil(p*n)) so no engine-specific quantile convention is assumed
+    "q68_quantiles" ->
+      """WITH s AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT
+        |  max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN v END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.50*n) AS BIGINT) THEN v END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN v END) AS p75,
+        |  max(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN v END) AS p95,
+        |  true AS ok25, true AS ok50, true AS ok75, true AS ok95
+        |FROM s""".stripMargin,
     "q50_quality_score" ->
       """WITH s AS (
         |  SELECT doc_id, length(text) AS n,

@@ -64,16 +64,40 @@ object Canonicalize {
   def sameAsEdges(mentionUri: DataFrame): DataFrame =
     sameAsEdges(mentionUri, defaultAmbiguousSurfaces)
 
+  /** Dictionary-encode edge endpoints: `dict(node: string, nid: long)`
+    * with nid order == node string order, plus the edges re-expressed over
+    * nids. `save` materializes the dict before reuse — ids come from
+    * sampled range boundaries and must not change under lineage
+    * recomputation.
+    */
+  private[graft] def encodeEdges(
+      edges: DataFrame,
+      save: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val nodesStr = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val dict = save(nodesStr.orderBy("node")
+      .withColumn("nid", monotonically_increasing_id()))
+    val byName = (as: String) => dict
+      .select(col("node").as(as), col("nid").as(s"${as}_id"))
+    val encoded = edges
+      .join(byName("src"), "src")
+      .join(byName("dst"), "dst")
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    (dict, encoded)
+  }
+
   /** Connected components via iterative min-label propagation with
-    * pointer jumping, over DICTIONARY-ENCODED node ids: node strings are
-    * mapped once to dense `Long` ids whose order matches string order
-    * (range sort + `monotonically_increasing_id` — partition index forms
-    * the high bits and range partitions are sort-ordered, so id order ==
-    * string order and min-id == lexicographic-min string, preserving the
+    * pointer jumping. At scale the rounds run over DICTIONARY-ENCODED
+    * node ids: node strings are mapped once to dense `Long` ids whose
+    * order matches string order (range sort +
+    * `monotonically_increasing_id` — partition index forms the high bits
+    * and range partitions are sort-ordered, so id order == string order
+    * and min-id == lexicographic-min string, preserving the
     * representative contract). Every per-round shuffle then moves 8-byte
     * longs instead of full URI strings — at 10⁹-node scale that cuts
-    * per-round shuffle bytes several-fold; strings are joined back exactly
-    * once after convergence.
+    * per-round shuffle bytes several-fold; strings join back exactly once
+    * after convergence. Small graphs skip the encoding (see
+    * `encodeMinEdges` on the 5-arg overload).
     *
     * @param edges           (src, dst) string pairs
     * @param maxIter         hard round cap; with pointer jumping rounds
@@ -103,28 +127,6 @@ object Canonicalize {
     *                        rewrite triples to non-canonical representatives
     * @return (node, component)
     */
-  /** Dictionary-encode edge endpoints: `dict(node: string, nid: long)`
-    * with nid order == node string order, plus the edges re-expressed over
-    * nids. `save` materializes the dict before reuse — ids come from
-    * sampled range boundaries and must not change under lineage
-    * recomputation.
-    */
-  private[graft] def encodeEdges(
-      edges: DataFrame,
-      save: DataFrame => DataFrame): (DataFrame, DataFrame) = {
-    val nodesStr = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val dict = save(nodesStr.orderBy("node")
-      .withColumn("nid", monotonically_increasing_id()))
-    val byName = (as: String) => dict
-      .select(col("node").as(as), col("nid").as(s"${as}_id"))
-    val encoded = edges
-      .join(byName("src"), "src")
-      .join(byName("dst"), "dst")
-      .select(col("src_id").as("src"), col("dst_id").as("dst"))
-    (dict, encoded)
-  }
-
   def connectedComponents(
       edges: DataFrame,
       maxIter: Int = 20,
