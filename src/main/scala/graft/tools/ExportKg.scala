@@ -12,9 +12,11 @@ import graft.model.Triple
   *        [--evals /path/evals.parquet]
   * Writes: ttl/ (custom TTL lines), queryable_ttl/, triples_csv/,
   * edges_csv/, rag_json/, sparql_templates/, node_categories/,
-  * predicate_histogram/, entity_index/, top_degree/. With --evals
+  * predicate_histogram/, entity_index/, top_degree/, dot/ (one styled
+  * DOT graph per document, json-lines of (docId, dot)). With --evals
   * (docId, idx, eval_triple, confidence, source_sentence, extractable),
-  * triples_csv carries the J3 fuzzy-join enrichment instead of defaults.
+  * triples_csv AND the DOT edge labels carry the J3 fuzzy-join
+  * enrichment (confidence/extractability suffixes) instead of defaults.
   */
 object ExportKg {
   def main(args: Array[String]): Unit = {
@@ -39,15 +41,24 @@ object ExportKg {
 
     Exports.customTtl(triples).write.mode(SaveMode.Overwrite).text(s"$out/ttl")
     Exports.queryableTtl(triples).write.mode(SaveMode.Overwrite).text(s"$out/queryable_ttl")
-    val csv = opts.get("--evals") match {
+    val enriched = opts.get("--evals") match {
       case Some(evalsPath) =>
         val evals = spark.read.parquet(evalsPath).as[Exports.EvalRow]
         Exports.enrichedTriples(triples, evals)
-          .drop("docId") // reference CSV shape has no doc column
-      case None => Exports.triplesCsv(triples)
+      case None =>
+        Exports.reparsed(triples).select(
+          org.apache.spark.sql.functions.col("docId"),
+          org.apache.spark.sql.functions.col("subject"),
+          org.apache.spark.sql.functions.col("predicate"),
+          org.apache.spark.sql.functions.col("object"),
+          org.apache.spark.sql.functions.lit(0.9).as("confidence"),
+          org.apache.spark.sql.functions.lit("Unknown").as("source_sentence"),
+          org.apache.spark.sql.functions.lit(true).as("extractable"))
     }
-    csv.write.mode(SaveMode.Overwrite)
+    enriched.drop("docId") // reference CSV shape has no doc column
+      .write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$out/triples_csv")
+    Exports.dotGraphs(enriched).write.mode(SaveMode.Overwrite).json(s"$out/dot")
     Exports.edgesCsv(triples).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$out/edges_csv")
     Exports.ragJson(triples).write.mode(SaveMode.Overwrite).json(s"$out/rag_json")
@@ -61,7 +72,7 @@ object ExportKg {
       .option("header", "true").csv(s"$out/entity_index")
     Exports.topKByDegree(triples, 30).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$out/top_degree")
-    println(s"export_kg: wrote 10 sinks under $out")
+    println(s"export_kg: wrote 11 sinks under $out")
     spark.stop()
   }
 }
