@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.dedup.MinHashLsh
+
+/** Streaming near-duplicate detection: each incoming document is checked
+  * against everything previously seen, via STATEFUL MinHash-LSH band
+  * buckets — the streaming face of `MinHashLsh.nearDuplicatePairs`.
+  *
+  * Stage 1 ([[candidates]], stateful, bounded): a doc fans out to its 16
+  * band rows; per (band, band_hash) key, `flatMapGroupsWithState` keeps
+  * up to `bucketCap` (doc_id, signature) members — 512 B each, texts
+  * never enter state. An incoming doc emits one candidate row for the
+  * best prior member whose signature estimate reaches `threshold`.
+  * Determinism: rows are processed in (event-time, doc_id) order within
+  * each micro-batch, and membership is first-seen-wins. Event-time
+  * timeout evicts buckets idle past the watermark, bounding total state.
+  *
+  * Stage 2 ([[verdicts]], stateless per micro-batch): reduce a doc's
+  * (up to 16) candidate rows to one verdict. Chaining another stateful
+  * aggregation behind flatMapGroupsWithState is restricted in Structured
+  * Streaming, and per-batch reduction is exact here — a doc's band rows
+  * always land in the same micro-batch. Run it in `foreachBatch` (see
+  * [[runOnce]]).
+  */
+object StreamingDedup {
+
+  final case class DocIn(doc_id: Long, ts: Timestamp, text: String)
+
+  final case class BandIn(
+      band_key: Long,
+      ts: Timestamp,
+      doc_id: Long,
+      sig: Array[Long])
+
+  final case class Member(id: Long, sig: Array[Long])
+  final case class BucketState(members: Array[Member], overflowed: Long)
+
+  final case class Candidate(doc_id: Long, ts: Timestamp, dup_of: Long, est: Double)
+
+  /** Stateful candidate stream. Output: one row per (doc, matching
+    * bucket) with the bucket's best prior match at estimate ≥ threshold.
+    */
+  def candidates(
+      docs: Dataset[DocIn],
+      threshold: Double = 0.8,
+      bucketCap: Int = 128,
+      watermark: String = "1 hour"): Dataset[Candidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .flatMap { d =>
+        val sig = MinHashLsh.signature(d.text)
+        MinHashLsh.bandRowsFromSignature(d.doc_id, sig).map { br =>
+          BandIn((br.band.toLong << 56) ^ (br.band_hash & 0xffffffffffffffL),
+            d.ts, d.doc_id, sig)
+        }
+      }
+      .withWatermark("ts", watermark)
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BucketState, Candidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[BandIn], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic processing order within the micro-batch
+            val sorted = rows.toVector.sortBy(r => (r.ts.getTime, r.doc_id))
+            var st = state.getOption.getOrElse(BucketState(Array.empty, 0L))
+            var members = st.members
+            var overflowed = st.overflowed
+            val out = Vector.newBuilder[Candidate]
+            var maxTs = Long.MinValue
+            sorted.foreach { r =>
+              var best = -1L
+              var bestEst = 0.0
+              members.foreach { m =>
+                if (m.id != r.doc_id) {
+                  val e = MinHashLsh.estimateJaccard(m.sig, r.sig)
+                  if (e > bestEst || (e == bestEst && best != -1L && m.id < best)) {
+                    best = m.id; bestEst = e
+                  }
+                }
+              }
+              if (best != -1L && bestEst >= threshold)
+                out += Candidate(r.doc_id, r.ts,
+                  best, math.floor(bestEst * 1e4 + 0.5) / 1e4)
+              if (!members.exists(_.id == r.doc_id)) {
+                if (members.length < bucketCap) members = members :+ Member(r.doc_id, r.sig)
+                else overflowed += 1 // loud, not silent: carried in state + metric
+              }
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            st = BucketState(members, overflowed)
+            state.update(st)
+            if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs, watermark)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Per micro-batch verdict reduction: a doc's best candidate across its
+    * band buckets, or nothing if it matched no prior doc.
+    * Input columns: (doc_id, ts, dup_of, est).
+    */
+  def verdicts(candidates: DataFrame): DataFrame =
+    candidates.groupBy("doc_id")
+      .agg(max(struct(col("est"), col("dup_of"))).as("m"))
+      .select(col("doc_id"), col("m.dup_of").as("dup_of"), col("m.est").as("est"))
+
+  /** Drain a docs parquet directory through the dedup stream once
+    * (AvailableNow), collecting per-batch verdicts into a memory table.
+    */
+  def runOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      name: String,
+      threshold: Double = 0.8,
+      checkpoint: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val docs = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[DocIn].schema)
+      .parquet(dir).as[DocIn]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val writer = candidates(docs, threshold).writeStream
+      .queryName(name)
+      .foreachBatch { (batch: Dataset[Candidate], _: Long) =>
+        verdicts(batch.toDF()).collect().foreach(sink.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer.start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val rows = sink.iterator().asScala.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.toDF("doc_id", "dup_of", "est")
+  }
+}
