@@ -20,6 +20,10 @@ object Bench {
 
   def run(spark: SparkSession, sfDir: String)
       : (Map[String, Double], Map[String, String], Long, Double) = {
+    // q23 skips its oracle materialization under bench (see SparkEntry):
+    // timing measures the operator, and a bench at another sf dir can
+    // never clobber the stability fixture the driver's compare reads
+    System.setProperty("graft.bench", "1")
     // warmup: absorb codegen/classloading so per-query numbers are
     // steady-state; include a micro CC so the iterative-join machinery
     // (checkpoint blocks, shuffle paths) is warm before q32 is timed

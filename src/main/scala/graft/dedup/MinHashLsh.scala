@@ -126,11 +126,18 @@ object MinHashLsh {
     *                   band — overwhelmingly boilerplate; capped buckets
     *                   are counted in the other 15 bands anyway).
     */
+  // the previous invocation's cached intermediates — unpersisted lazily
+  // on the NEXT call, so repeated bench/pipeline invocations hold at most
+  // one call's caches instead of leaking one pair per call for the
+  // session lifetime (consumers finish their actions before calling again)
+  private var lastCached: Seq[DataFrame] = Nil
+
   /** Shared front half of near-dup detection: exact-clone collapse,
     * LSH banding over representatives, signature prescreen, exact
     * verification. Returns (groups = (id, rep) clone membership,
     * repPairs = verified near-dup pairs BETWEEN representatives).
-    * `groups` is cached; callers unpersist when done.
+    * `groups`/`sigs` are cached for the duration of this call's consumer
+    * and released when the operator is next invoked.
     */
   private def cloneGroupsAndRepPairs(
       docs: Dataset[(Long, String)],
@@ -153,6 +160,10 @@ object MinHashLsh {
       }
     }.toDF("id", "h", "rep_text")
     val reps = hashed.groupBy("h").agg(min("id").as("rep"))
+    synchronized {
+      lastCached.foreach(_.unpersist(false))
+      lastCached = Nil
+    }
     val groups = hashed.join(reps, "h").select(col("id"), col("rep")).cache()
     val repDocs = hashed.join(reps, hashed("id") === reps("rep"))
       .select(col("id"), col("rep_text").as("text"))
@@ -161,6 +172,7 @@ object MinHashLsh {
     // 2. LSH candidates over representatives, signatures computed ONCE
     val sigs = repDocs.map { case (id, text) => (id, signature(text)) }
       .toDF("id", "sig").cache()
+    synchronized { lastCached = Seq(groups, sigs) }
     val b = sigs.as[(Long, Array[Long])]
       .flatMap { case (id, sig) => bandRowsFromSignature(id, sig) }
       .toDF("id", "band", "band_hash")

@@ -100,15 +100,21 @@ object Exports {
   /** Enriched triples CSV (batch_pipeline.py:462-507,668-685) on the
     * defaults path: confidence 0.9, source_sentence "Unknown",
     * extractable true. With evaluation results, use [[enrichedTriples]].
+    * [[triplesCsvWithDoc]] keeps the docId column (for per-document
+    * sinks like [[dotGraphs]]); the reference CSV shape drops it.
     */
-  def triplesCsv(triples: Dataset[Triple]): DataFrame =
+  def triplesCsvWithDoc(triples: Dataset[Triple]): DataFrame =
     reparsed(triples).select(
+      col("docId"),
       col("subject"),
       col("predicate"),
       col("object"),
       lit(0.9).as("confidence"),
       lit("Unknown").as("source_sentence"),
       lit(true).as("extractable"))
+
+  def triplesCsv(triples: Dataset[Triple]): DataFrame =
+    triplesCsvWithDoc(triples).drop("docId")
 
   /** One evaluation-result row, the J3 join's build side
     * (batch_pipeline.py:489-499): `idx` is the row's position in the doc's

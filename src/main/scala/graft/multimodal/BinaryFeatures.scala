@@ -161,17 +161,21 @@ object BinaryFeatures {
     */
   def probeWav(id: Long, b: Array[Byte]): Option[AvFeatures] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var pos = 12
+    // positions as Long and sizes kept unsigned: a corrupt 32-bit chunk
+    // size must neither wrap the cursor backwards (infinite loop /
+    // negative index on untrusted bytes) nor overflow Int
+    var pos = 12L
     var rate = 0; var channels = 0; var bits = 0; var dataLen = -1L
     while (pos + 8 <= b.length && (rate == 0 || dataLen < 0)) {
-      val id4 = tag(b, pos)
-      val size = le32(b, pos + 4)
+      val p = pos.toInt
+      val id4 = tag(b, p)
+      val size = le32(b, p + 4) // unsigned 32-bit in a Long
       if (id4 == "fmt " && pos + 24 <= b.length) {
-        channels = le16(b, pos + 10)
-        rate = le32(b, pos + 12).toInt
-        bits = le16(b, pos + 22)
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12).toInt
+        bits = le16(b, p + 22)
       } else if (id4 == "data") dataLen = size
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+      pos += 8L + size + (size & 1L) // chunks are 2-byte aligned
     }
     if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) None
     else {
@@ -188,14 +192,16 @@ object BinaryFeatures {
     */
   def probeMp4(id: Long, b: Array[Byte]): Option[AvFeatures] = {
     if (b.length < 16 || tag(b, 4) != "ftyp") return None
-    def findBox(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+    // Long cursor: a crafted box size ≥ 2^31 must walk off the end and
+    // return None, not wrap negative and index the array out of bounds
+    def findBox(from: Long, until: Long, name: String): Option[(Int, Int)] = {
       var pos = from
       while (pos + 8 <= until) {
-        val size = be32(b, pos)
+        val size = be32(b, pos.toInt) // unsigned 32-bit in a Long
         if (size < 8) return None
-        if (tag(b, pos + 4) == name)
-          return Some((pos + 8, math.min(until, pos + size.toInt)))
-        pos += size.toInt
+        if (tag(b, pos.toInt + 4) == name)
+          return Some(((pos + 8).toInt, math.min(until, pos + size).toInt))
+        pos += size
       }
       None
     }

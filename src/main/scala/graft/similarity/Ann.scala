@@ -183,9 +183,17 @@ object Ann {
       vectors: Dataset[(Long, Array[Float])],
       nlist: Int,
       iters: Int = 5,
-      sampleSize: Int = 10000): Array[Array[Float]] = {
+      sampleSize: Int = 0): Array[Array[Float]] = {
+    // the sample must back the requested cell count, or the effective
+    // nlist silently caps at the sample size and cell population grows
+    // linearly again (the degeneration auto-sizing exists to prevent);
+    // 4 samples/centroid, bounded — 2^16 cells × 4 × 64-dim floats ≈ 67 MB
+    // on the driver, the documented ceiling of this coarse quantizer
+    val effSample =
+      if (sampleSize > 0) sampleSize
+      else math.max(10000, math.min(1 << 18, nlist * 4))
     val sample = vectors.orderBy(vectors.columns.head)
-      .limit(sampleSize).collect().map(_._2)
+      .limit(effSample).collect().map(_._2)
     require(sample.nonEmpty, "empty vector set")
     val dim = sample.head.length
     // deterministic spread init: every (n/nlist)-th sample vector
@@ -238,11 +246,14 @@ object Ann {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cents = spark.sparkContext.broadcast(trainCentroids(vectors, nlist))
+    // probe count follows the EFFECTIVE cell count (the sample can back
+    // fewer centroids than requested), never the nominal nlist
+    val effProbe = math.min(nprobe, cents.value.length)
     val assigned = vectors.map { case (id, v) =>
       (nearestCentroid(v, cents.value).toLong, id, v)
     }
     val probes = vectors.flatMap { case (id, v) =>
-      topCentroids(v, cents.value, nprobe).iterator.map(c => (c.toLong, id, v))
+      topCentroids(v, cents.value, effProbe).iterator.map(c => (c.toLong, id, v))
     }
     topK(boundedPairSims(assigned, probes, bucketCap), k)
   }

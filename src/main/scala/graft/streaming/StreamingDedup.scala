@@ -93,7 +93,17 @@ object StreamingDedup {
                   best, math.floor(bestEst * 1e4 + 0.5) / 1e4)
               if (!members.exists(_.id == r.doc_id)) {
                 if (members.length < bucketCap) members = members :+ Member(r.doc_id, r.sig)
-                else overflowed += 1 // loud, not silent: carried in state + metric
+                else {
+                  // loud: later near-dups can only match the first
+                  // bucketCap members of this bucket — log on the first
+                  // overflow so operators see the cap being hit
+                  if (overflowed == 0L)
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"StreamingDedup bucket over cap $bucketCap — " +
+                        "membership frozen; raise bucketCap if near-dup " +
+                        "coverage of this bucket matters")
+                  overflowed += 1
+                }
               }
               if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
             }

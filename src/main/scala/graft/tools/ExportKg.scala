@@ -45,15 +45,7 @@ object ExportKg {
       case Some(evalsPath) =>
         val evals = spark.read.parquet(evalsPath).as[Exports.EvalRow]
         Exports.enrichedTriples(triples, evals)
-      case None =>
-        Exports.reparsed(triples).select(
-          org.apache.spark.sql.functions.col("docId"),
-          org.apache.spark.sql.functions.col("subject"),
-          org.apache.spark.sql.functions.col("predicate"),
-          org.apache.spark.sql.functions.col("object"),
-          org.apache.spark.sql.functions.lit(0.9).as("confidence"),
-          org.apache.spark.sql.functions.lit("Unknown").as("source_sentence"),
-          org.apache.spark.sql.functions.lit(true).as("extractable"))
+      case None => Exports.triplesCsvWithDoc(triples)
     }
     enriched.drop("docId") // reference CSV shape has no doc column
       .write.mode(SaveMode.Overwrite)

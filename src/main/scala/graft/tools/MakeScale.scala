@@ -46,6 +46,14 @@ object MakeScale {
     def scaled(name: String): DataFrame = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val keys = keyCols.getOrElse(name, Seq.empty)
+      // shifted 32-bit keys must not wrap (silently desynchronizing fact
+      // and dimension copies) — fail fast instead
+      keys.foreach { c =>
+        if (base.schema(c).dataType == org.apache.spark.sql.types.IntegerType)
+          require((factor - 1).toLong * Stride + Stride <= Int.MaxValue,
+            s"factor $factor overflows 32-bit key column $name.$c " +
+              s"(max ${Int.MaxValue / Stride} copies at stride $Stride)")
+      }
       if (keys.isEmpty) base
       else (0 until factor).map { k =>
         keys.foldLeft(base) { (df, c) =>

@@ -539,6 +539,18 @@ class OperatorsSpec extends AnyFunSuite {
     // truncated/garbage headers must not throw
     assert(probeAv(5L, "RIFFxxxxWAVE".getBytes).container == "unknown")
     assert(probeAv(6L, Array.emptyByteArray).container == "unknown")
+    // adversarial chunk/box sizes must neither loop forever nor index
+    // out of bounds (untrusted crawl bytes)
+    val evilWav = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evilWav.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    evilWav.put("junk".getBytes).putInt(0xFFFFFFF8) // size wraps Int
+    assert(probeAv(7L, evilWav.array()).container == "unknown")
+    val evilMp4 = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    evilMp4.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    evilMp4.putInt(0x80000000).put("moov".getBytes) // size >= 2^31
+    assert(probeAv(8L, evilMp4.array()).container == "unknown")
   }
 
   test("ANN auto-sizing keeps bucket/cell population flat as n grows") {
