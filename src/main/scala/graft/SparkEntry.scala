@@ -296,6 +296,16 @@ object SparkEntry {
         .selectExpr("doc_id", "bpe_count(text) AS n_pieces")
     }),
 
+    // end-to-end curation: langid + quality floor in ONE text pass, then
+    // exact-dedup keeper selection among survivors; one verdict row per
+    // input doc with the rejecting stage (nothing silently dropped)
+    "q69_curation" -> ((s, d) => {
+      import s.implicits._
+      graft.pipeline.Curate.curateExact(
+        s.read.parquet(t(d, "documents"))
+          .select("doc_id", "text").as[(Long, String)])
+    }),
+
     "q25_token_count" -> ((s, d) => {
       s.read.parquet(t(d, "documents"))
         .select(
@@ -833,6 +843,71 @@ object SparkEntry {
        |    WHERE e.docId = p.docId ORDER BY e.idx LIMIT 1), true) AS extractable
        |FROM pl p)""".stripMargin
 
+  /** q50's oracle as a reusable body (q69 composes it as a CTE). */
+  private val qualityOracleBody: String = """WITH s AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, n, len(toks) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_len,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','of','in','on','at','to','and','or','is','are','was',
+        |       'were','be','for','with','as','by','it','that','this','from','but',
+        |       'not','he','she','they','his','her','its'], lower(x)))) AS DOUBLE)
+        |      / len(toks) AS stop_r,
+        |    CAST(n_punct AS DOUBLE) / n AS punct_r,
+        |    CAST(n_digit AS DOUBLE) / n AS digit_r
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  floor(mean_len*1000 + 0.5)/1000 AS mean_token_len,
+        |  floor(stop_r*1000 + 0.5)/1000 AS stopword_ratio,
+        |  floor(punct_r*1000 + 0.5)/1000 AS punct_ratio,
+        |  floor(digit_r*1000 + 0.5)/1000 AS digit_ratio,
+        |  floor(0.25*(least(1.0, n_tokens/50.0)
+        |    + (1.0 - least(1.0, abs(stop_r - 0.4)/0.4))
+        |    + greatest(0.0, 1.0 - 4*punct_r - 4*digit_r)
+        |    + (1.0 - least(1.0, abs(mean_len - 5.0)/5.0)))*1000 + 0.5)/1000 AS composite
+        |FROM raw""".stripMargin
+
+  /** q27's oracle as a reusable body (q69 composes it as a CTE). */
+  private val langIdOracleBody: String = {
+      val profs = Map(
+        "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "was",
+          "for", "it", "with", "as", "his", "her", "on", "at", "by", "an", "be",
+          "this", "which", "or", "from", "but", "not", "are", "were", "he", "she"),
+        "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+          "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
+          "als", "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie"),
+        "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du",
+          "dans", "est", "pour", "qui", "que", "sur", "se", "pas", "plus", "par",
+          "avec", "son", "au", "il", "elle", "ne", "ce", "mais", "ou", "sont"),
+        "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una", "del",
+          "que", "es", "por", "con", "para", "su", "se", "no", "como", "más",
+          "pero", "sus", "le", "fue", "al", "lo", "son", "entre", "está", "también"))
+      def hits(lang: String) =
+        s"len(list_filter(toks, t -> list_contains([${profs(lang).map(w => s"'$w'").mkString(",")}], t))) AS $lang"
+      s"""WITH s AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id, len(toks) AS n,
+         |  ${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}
+         |  FROM s)
+         |SELECT doc_id,
+         |  CASE WHEN n = 0 OR greatest(en, de, fr, es) = 0 THEN 'und'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred,
+         |  CASE WHEN n = 0 THEN 0.0
+         |       ELSE floor(CAST(greatest(en, de, fr, es) AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |       END AS score
+         |FROM sc""".stripMargin
+      }
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -1157,35 +1232,25 @@ object SparkEntry {
         |  max(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN v END) AS p95,
         |  true AS ok25, true AS ok50, true AS ok75, true AS ok95
         |FROM s""".stripMargin,
-    "q50_quality_score" ->
-      """WITH s AS (
-        |  SELECT doc_id, length(text) AS n,
-        |    regexp_split_to_array(trim(text), '\s+') AS toks,
-        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
-        |  FROM documents),
-        |raw AS (
-        |  SELECT doc_id, n, len(toks) AS n_tokens,
-        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_len,
-        |    CAST(len(list_filter(toks, x -> list_contains(
-        |      ['the','a','an','of','in','on','at','to','and','or','is','are','was',
-        |       'were','be','for','with','as','by','it','that','this','from','but',
-        |       'not','he','she','they','his','her','its'], lower(x)))) AS DOUBLE)
-        |      / len(toks) AS stop_r,
-        |    CAST(n_punct AS DOUBLE) / n AS punct_r,
-        |    CAST(n_digit AS DOUBLE) / n AS digit_r
-        |  FROM s)
-        |SELECT doc_id,
-        |  CAST(n_tokens AS INT) AS n_tokens,
-        |  floor(mean_len*1000 + 0.5)/1000 AS mean_token_len,
-        |  floor(stop_r*1000 + 0.5)/1000 AS stopword_ratio,
-        |  floor(punct_r*1000 + 0.5)/1000 AS punct_ratio,
-        |  floor(digit_r*1000 + 0.5)/1000 AS digit_ratio,
-        |  floor(0.25*(least(1.0, n_tokens/50.0)
-        |    + (1.0 - least(1.0, abs(stop_r - 0.4)/0.4))
-        |    + greatest(0.0, 1.0 - 4*punct_r - 4*digit_r)
-        |    + (1.0 - least(1.0, abs(mean_len - 5.0)/5.0)))*1000 + 0.5)/1000 AS composite
-        |FROM raw""".stripMargin,
+    "q50_quality_score" -> qualityOracleBody,
+    // the q27 + q50 + q21 mirrors composed — same filters/keeper rule
+    "q69_curation" ->
+      s"""WITH li AS ($langIdOracleBody),
+         |ql AS ($qualityOracleBody),
+         |sc AS (
+         |  SELECT d.doc_id, li.lang_pred, ql.composite, md5(d.text) AS h
+         |  FROM documents d JOIN li USING (doc_id) JOIN ql USING (doc_id)),
+         |k AS (
+         |  SELECT h, min(doc_id) AS keeper FROM sc
+         |  WHERE lang_pred = 'en' AND composite >= 0.3 GROUP BY h)
+         |SELECT sc.doc_id, sc.lang_pred, sc.composite,
+         |  CASE WHEN sc.lang_pred <> 'en' THEN 'lang'
+         |       WHEN sc.composite < 0.3 THEN 'quality'
+         |       WHEN sc.doc_id <> k.keeper THEN 'duplicate'
+         |       ELSE 'kept' END AS verdict,
+         |  (sc.lang_pred = 'en' AND sc.composite >= 0.3
+         |    AND sc.doc_id = k.keeper) AS kept
+         |FROM sc LEFT JOIN k USING (h)""".stripMargin,
     "q53_truncate" ->
       """WITH t0 AS (SELECT doc_id, replace(text, 'table', 'table.') AS text FROM documents),
         |tr AS (SELECT doc_id, text, substr(text, 1, 200) AS cut, length(text) AS n FROM t0),
@@ -1406,37 +1471,5 @@ object SparkEntry {
         |WHERE sim >= 0.35""".stripMargin,
     // profile hit-counts share the denominator, so the first-max
     // tie-break compares counts directly (en ≥ later profiles wins)
-    "q27_langid" -> {
-      val profs = Map(
-        "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "was",
-          "for", "it", "with", "as", "his", "her", "on", "at", "by", "an", "be",
-          "this", "which", "or", "from", "but", "not", "are", "were", "he", "she"),
-        "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
-          "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
-          "als", "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie"),
-        "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du",
-          "dans", "est", "pour", "qui", "que", "sur", "se", "pas", "plus", "par",
-          "avec", "son", "au", "il", "elle", "ne", "ce", "mais", "ou", "sont"),
-        "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una", "del",
-          "que", "es", "por", "con", "para", "su", "se", "no", "como", "más",
-          "pero", "sus", "le", "fue", "al", "lo", "son", "entre", "está", "también"))
-      def hits(lang: String) =
-        s"len(list_filter(toks, t -> list_contains([${profs(lang).map(w => s"'$w'").mkString(",")}], t))) AS $lang"
-      s"""WITH s AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-         |  FROM documents),
-         |sc AS (SELECT doc_id, len(toks) AS n,
-         |  ${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}
-         |  FROM s)
-         |SELECT doc_id,
-         |  CASE WHEN n = 0 OR greatest(en, de, fr, es) = 0 THEN 'und'
-         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-         |       WHEN de >= fr AND de >= es THEN 'de'
-         |       WHEN fr >= es THEN 'fr'
-         |       ELSE 'es' END AS lang_pred,
-         |  CASE WHEN n = 0 THEN 0.0
-         |       ELSE floor(CAST(greatest(en, de, fr, es) AS DOUBLE) / n * 1000000 + 0.5) / 1000000
-         |       END AS score
-         |FROM sc""".stripMargin
-    })
+    "q27_langid" -> langIdOracleBody)
 }

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation over a documents table — the
+  * composition a 100 TB pre-training pipeline actually runs, built from
+  * the library's individually-oracled pieces:
+  *
+  *   1. language ID (stopword profiles, map-only),
+  *   2. quality floor (composite score, same single pass),
+  *   3. duplicate keeper selection among the SURVIVORS — exact (md5
+  *      groups, SQL-mirrorable) or near-dup (MinHash-LSH clusters, the
+  *      scale path).
+  *
+  * One verdict row per input document: nothing is silently dropped — a
+  * filtered doc carries `kept=false` plus the stage that rejected it, so
+  * corpus-curation accounting (how much did each filter remove?) is a
+  * groupBy away. Steps 1–2 share one mapPartitions pass (no extra scan);
+  * step 3 shuffles only the survivors' hashes/ids.
+  */
+object Curate {
+
+  /** Exact-dedup variant: deterministic and fully SQL-expressible (the
+    * q69 DuckDB oracle composes the q27/q50/q21 mirrors).
+    */
+  def curateExact(
+      docs: Dataset[(Long, String)],
+      lang: String = "en",
+      minComposite: Double = 0.3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // steps 1+2 in ONE pass over the text
+    val scored = docs.map { case (id, text) =>
+      val (lp, _) = graft.text.LangId.detect(text)
+      val q = graft.text.Quality.score(text)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = java.util.Base64.getEncoder.encodeToString(
+        md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      (id, lp, q.composite, h)
+    }.toDF("doc_id", "lang_pred", "composite", "h")
+    val survivors = scored
+      .filter(col("lang_pred") === lang && col("composite") >= minComposite)
+    val keepers = survivors.groupBy("h").agg(min("doc_id").as("keeper"))
+    scored
+      .join(keepers.withColumnRenamed("h", "kh"),
+        col("h") === col("kh"), "left")
+      .select(
+        col("doc_id"), col("lang_pred"),
+        round(col("composite"), 3).as("composite"),
+        when(col("lang_pred") =!= lang, "lang")
+          .when(col("composite") < minComposite, "quality")
+          .when(col("doc_id") =!= col("keeper"), "duplicate")
+          .otherwise("kept").as("verdict"),
+        (col("lang_pred") === lang && col("composite") >= minComposite &&
+          col("doc_id") === col("keeper")).as("kept"))
+  }
+
+  /** Near-dup variant: keeper = the MinHash-LSH cluster representative
+    * among survivors (approximate by contract — rows-only in the driver
+    * gate; the cluster machinery carries its own spec gates).
+    */
+  def curateNearDup(
+      docs: Dataset[(Long, String)],
+      lang: String = "en",
+      minComposite: Double = 0.3,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = docs.map { case (id, text) =>
+      val (lp, _) = graft.text.LangId.detect(text)
+      (id, text, lp, graft.text.Quality.score(text).composite)
+    }.toDF("doc_id", "text", "lang_pred", "composite")
+    val survivors = scored
+      .filter(col("lang_pred") === lang && col("composite") >= minComposite)
+      .select("doc_id", "text").as[(Long, String)]
+    val clusters = graft.dedup.MinHashLsh
+      .nearDuplicateClusters(survivors, threshold)
+      .toDF("doc_id", "cluster")
+    scored.drop("text")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang_pred"),
+        round(col("composite"), 3).as("composite"),
+        when(col("lang_pred") =!= lang, "lang")
+          .when(col("composite") < minComposite, "quality")
+          .when(col("doc_id") =!= col("cluster"), "duplicate")
+          .otherwise("kept").as("verdict"),
+        (col("lang_pred") === lang && col("composite") >= minComposite &&
+          col("doc_id") === col("cluster")).as("kept"))
+  }
+}

@@ -449,6 +449,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(maxPerBlock <= blockSize)
   }
 
+  test("curation pipeline: every doc gets a verdict, filters cascade in order") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and she was " +
+      "happy with it all day because this is natural english prose to keep"
+    val german = "der hund und die katze sind in dem haus mit dem mann und " +
+      "der frau aber nicht auf der strasse weil es regnet und sie sind froh"
+    // English by stopword profile ("the" hits) but low composite:
+    // digit/punct-heavy, extreme token lengths, far too short
+    val noisy = "the 123456789012345678901234567890 !!!!!!!!!!!!!!!!!!!! 99999"
+    val docs = Seq(
+      (1L, good), (2L, good), // exact dups: 1 kept, 2 duplicate
+      (3L, german), // lang
+      (4L, noisy), // quality
+      (5L, good + " with a genuinely different tail making it unique text here"))
+      .toDS()
+    val exact = graft.pipeline.Curate.curateExact(docs)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(exact(1L) == "kept" && exact(2L) == "duplicate", exact.toString)
+    assert(exact(3L) == "lang" && exact(4L) == "quality", exact.toString)
+    assert(exact(5L) == "kept", exact.toString)
+
+    // near-dup variant additionally collapses doc 5 into doc 1's cluster
+    val near = graft.pipeline.Curate.curateNearDup(docs, threshold = 0.5)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(near(1L) == "kept" && near(2L) == "duplicate", near.toString)
+    assert(near(5L) == "duplicate", near.toString)
+    assert(near(3L) == "lang" && near(4L) == "quality", near.toString)
+  }
+
   test("adaptive clone enumeration: blocked and direct paths agree exactly") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the river today"
