@@ -39,12 +39,14 @@ object Curate {
         md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       (id, lp, q.composite, h)
     }.toDF("doc_id", "lang_pred", "composite", "h")
-    val survivors = scored
-      .filter(col("lang_pred") === lang && col("composite") >= minComposite)
-    val keepers = survivors.groupBy("h").agg(min("doc_id").as("keeper"))
+    // keeper as a window over the hash, NOT a groupBy+self-join: the
+    // self-join shape evaluates the scan + scoring pass twice (two full
+    // corpus reads at 100 TB); the window is one scan + one shuffle on h
+    // (PlanQualitySpec asserts the single-scan plan)
+    val passes = col("lang_pred") === lang && col("composite") >= minComposite
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
     scored
-      .join(keepers.withColumnRenamed("h", "kh"),
-        col("h") === col("kh"), "left")
+      .withColumn("keeper", min(when(passes, col("doc_id"))).over(w))
       .select(
         col("doc_id"), col("lang_pred"),
         round(col("composite"), 3).as("composite"),
@@ -52,8 +54,7 @@ object Curate {
           .when(col("composite") < minComposite, "quality")
           .when(col("doc_id") =!= col("keeper"), "duplicate")
           .otherwise("kept").as("verdict"),
-        (col("lang_pred") === lang && col("composite") >= minComposite &&
-          col("doc_id") === col("keeper")).as("kept"))
+        (passes && col("doc_id") === col("keeper")).as("kept"))
   }
 
   /** Near-dup variant: keeper = the MinHash-LSH cluster representative

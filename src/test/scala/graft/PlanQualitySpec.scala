@@ -199,6 +199,13 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("curation pipeline scans the documents table exactly once") {
+    val p = plan("q69_curation")
+    // the details section lists each node once as "(N) Scan parquet"
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one scan (keeper is a window, not a self-join):\n$p")
+  }
+
   test("rank window shuffles once on the partition key with group-limit pushdown") {
     val p = plan("q06_window_rank")
     assert(p.contains("hashpartitioning(l_suppkey"),
