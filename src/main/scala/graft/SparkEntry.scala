@@ -549,6 +549,29 @@ object SparkEntry {
       graft.streaming.StreamingPipeline.runOnce(s, dir.toString, "q45_out")
     }),
 
+    // streaming near-dup dedup end-to-end: docs parquet → readStream →
+    // stateful LSH band buckets → per-batch verdicts (rows-only: LSH
+    // candidate recall is approximate; StreamingDedupSpec carries the
+    // correctness gates incl. a checkpoint restart)
+    "q70_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      // staging keyed by source dir (verify at sf0.01 and bench at sf0.1
+      // must not clobber each other) and written once per corpus — the
+      // stream input is a pure function of the sf dir
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_q70_docs_$tag")
+      if (!dir.exists())
+        s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
+          .map { case (id, text) => graft.streaming.StreamingDedup.DocIn(
+            id, new java.sql.Timestamp(1600000000000L + id * 1000L), text) }
+          .toDF().coalesce(4)
+          .write.mode("overwrite").parquet(dir.toString)
+      graft.streaming.StreamingDedup.runOnce(
+        s, dir.toString, "q70_dedup", threshold = 0.8)
+    }),
+
     // ---------- streaming (§2.10) ----------
     "q31_stream_window" -> ((s, d) => {
       val schema = s.read.parquet(t(d, "events")).schema
