@@ -250,6 +250,16 @@ object SparkEntry {
       s.read.parquet(t(d, "documents"))
         .selectExpr("doc_id", "simhash64(text) AS simhash")
     }),
+    // EXACT hamming-neighborhood pairs via pigeonhole chunk joins — the
+    // simhash-dedup join is deterministic, so it gets a full value-level
+    // oracle (chunk arithmetic + popcount mirrored over the q24 CTE)
+    "q71_simhash_pairs" -> ((s, d) => {
+      graft.expr.SimHash64Expr.register(s)
+      graft.dedup.SimHash.hammingPairs(
+        s.read.parquet(t(d, "documents"))
+          .selectExpr("doc_id", "simhash64(text) AS h"),
+        maxDist = 3)
+    }),
 
     // the scale-path dedup contract: one (doc_id, cluster) assignment per
     // document (rows-only here — LSH candidate recall is approximate; the
@@ -1015,6 +1025,28 @@ object SparkEntry {
     // value-level mirrors of the native hash Expressions (wrapping 64-bit
     // arithmetic reconstructed in DuckDB HUGEINT; see simhashOracleSql)
     "q24_simhash" -> simhashOracleSql,
+    // exact hamming pairs over the simhash mirror: unsigned chunk keys by
+    // HUGEINT division, candidates from chunk equality, popcount verify
+    "q71_simhash_pairs" ->
+      s"""WITH sh AS ($simhashOracleSql),
+         |u AS (
+         |  SELECT doc_id, simhash,
+         |    (CASE WHEN simhash < 0 THEN simhash::HUGEINT + $M64
+         |          ELSE simhash::HUGEINT END) AS uh
+         |  FROM sh),
+         |c AS (
+         |  SELECT doc_id, simhash,
+         |    uh % 65536 AS c0,
+         |    (uh // 65536::HUGEINT) % 65536 AS c1,
+         |    (uh // 4294967296::HUGEINT) % 65536 AS c2,
+         |    (uh // 281474976710656::HUGEINT) % 65536 AS c3
+         |  FROM u)
+         |SELECT a, b, hamming FROM (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |  FROM c x JOIN c y ON x.doc_id < y.doc_id
+         |    AND (x.c0 = y.c0 OR x.c1 = y.c1 OR x.c2 = y.c2 OR x.c3 = y.c3))
+         |WHERE hamming <= 3""".stripMargin,
     "q28_fingerprint" -> fingerprintOracleSql,
     // winnowing mirror: FNV per k-char window, MIN taken over the SIGNED
     // values (the Scala loop compares Longs), short texts fall back to

@@ -449,6 +449,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(maxPerBlock <= blockSize)
   }
 
+  test("simhash hamming pairs: exact pigeonhole join, no misses at the chunk boundary") {
+    import spark.implicits._
+    // crafted fingerprints: 0 vs 1 (ham 1), 0 vs 7 (ham 3, all in chunk 0),
+    // and 0 vs one-bit-per-chunk (ham 4 — NO chunk equal AND above maxDist)
+    // bits 1,17,33,49: distance 4 from doc 1 (h=0), ≥4 from docs 2/3/5
+    val spread = 0x0002000200020002L
+    val docs = Seq((1L, 0L), (2L, 1L), (3L, 7L), (4L, spread),
+      (5L, 0L)) // exact clone of doc 1 at distance 0
+      .toDF("doc_id", "h")
+    val pairs = graft.dedup.SimHash.hammingPairs(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 1 && pairs((1L, 3L)) == 3 && pairs((1L, 5L)) == 0)
+    assert(pairs((2L, 3L)) == 2) // 1 vs 7
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distance->=4 doc must pair with nothing: $pairs")
+    // a distance-4 pair agreeing on THREE chunks is still correctly cut
+    // by the popcount filter (candidates may include it)
+    val docs2 = Seq((1L, 0L), (2L, 0xFL)).toDF("doc_id", "h") // ham 4, chunk0 differs only
+    assert(graft.dedup.SimHash.hammingPairs(docs2, maxDist = 3).count() == 0)
+  }
+
   test("curation pipeline: every doc gets a verdict, filters cascade in order") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and she was " +
