@@ -572,7 +572,9 @@ object SparkEntry {
         scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
       val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"), s"graft_q70_docs_$tag")
-      if (!dir.exists())
+      // _SUCCESS, not dir existence: a crash mid-write must not leave a
+      // half-staged corpus that every later run silently streams
+      if (!new java.io.File(dir, "_SUCCESS").exists())
         s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
           .map { case (id, text) => graft.streaming.StreamingDedup.DocIn(
             id, new java.sql.Timestamp(1600000000000L + id * 1000L), text) }

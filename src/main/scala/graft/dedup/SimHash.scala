@@ -53,26 +53,53 @@ object SimHash {
   def hammingPairs(
       docs: org.apache.spark.sql.DataFrame,
       maxDist: Int = 3): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
     val k = maxDist + 1
     val base = 64 / k
-    val cands = (0 until k).map { i =>
+    // 1. collapse identical fingerprints first (the MinHashLsh clone-
+    // collapse pattern): boilerplate clone groups — the dominant hot-key
+    // source — enter the join as ONE representative, not m rows whose
+    // m² pairs would concentrate in a single chunk-key task
+    val reps = docs.groupBy(col("h"))
+      .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+    // 2. one posexplode into (chunk_idx, chunk_val) keys and ONE
+    // equality self-join — not k separate self-joins, which would
+    // evaluate the input lineage 2k times (8 scans + simhash passes at
+    // maxDist 3 for an un-materialized input)
+    val chunkArr = array((0 until k).map { i =>
       val lo = i * base
       val width = if (i == k - 1) 64 - lo else base
       val mask = if (width == 64) -1L else (1L << width) - 1
-      def chunk(c: Column) = shiftrightunsigned(c, lo).bitwiseAND(lit(mask))
-      val a = docs.select(col("doc_id").as("a"), col("h").as("ha"),
-        chunk(col("h")).as("key"))
-      val b = docs.select(col("doc_id").as("b"), col("h").as("hb"),
-        chunk(col("h")).as("key"))
-      a.join(b, Seq("key")).filter(col("a") < col("b"))
-        .select("a", "b", "ha", "hb")
-    }.reduce(_ unionByName _).distinct()
-    cands
-      .select(col("a"), col("b"),
+      shiftrightunsigned(col("h"), lo).bitwiseAND(lit(mask))
+    }: _*)
+    val keyed = reps.select(col("rid"), col("h"),
+      posexplode(chunkArr).as(Seq("ci", "key")))
+    val candReps = keyed.as("x").join(keyed.as("y"),
+        col("x.ci") === col("y.ci") && col("x.key") === col("y.key") &&
+          col("x.rid") < col("y.rid"))
+      .select(col("x.rid").as("ra"), col("x.h").as("ha"),
+        col("y.rid").as("rb"), col("y.h").as("hb"))
+      .distinct()
+      .select(col("ra"), col("rb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
+    // 3. expand back through the fingerprint groups with the same BLOCKED
+    // bounded-per-task enumeration MinHashLsh uses: intra-group pairs at
+    // distance 0 (m² output for an m-clone group is inherent to the pair
+    // contract; the cluster contract is the scale path), cross-group rep
+    // pairs through both member lists
+    val groups = docs.select(col("doc_id"), col("h"))
+      .join(reps.select(col("h"), col("rid")), "h")
+      .select(col("doc_id").as("id"), col("rid").as("rep"))
+    val intra = MinHashLsh.clonePairsBlocked(groups, 4096)
+      .toDF("a", "b", "j")
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+    val cross = MinHashLsh.expandRepPairsBlocked(groups,
+        candReps.select(col("ra"), col("rb"),
+          col("hamming").cast("double").as("j")), 4096)
+      .toDF("a", "b", "j")
+      .select(col("a"), col("b"), col("j").cast("int").as("hamming"))
+    cross.unionByName(intra)
   }
 }

@@ -30,14 +30,18 @@ object Curate {
       minComposite: Double = 0.3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // steps 1+2 in ONE pass over the text
-    val scored = docs.map { case (id, text) =>
-      val (lp, _) = graft.text.LangId.detect(text)
-      val q = graft.text.Quality.score(text)
+    // steps 1+2 in ONE pass over the text; one digest per partition, not
+    // a synchronized JCA provider lookup per row
+    val scored = docs.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val h = java.util.Base64.getEncoder.encodeToString(
-        md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      (id, lp, q.composite, h)
+      it.map { case (id, text) =>
+        val (lp, _) = graft.text.LangId.detect(text)
+        val q = graft.text.Quality.score(text)
+        md.reset()
+        val h = java.util.Base64.getEncoder.encodeToString(
+          md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        (id, lp, q.composite, h)
+      }
     }.toDF("doc_id", "lang_pred", "composite", "h")
     // keeper as a window over the hash, NOT a groupBy+self-join: the
     // self-join shape evaluates the scan + scoring pass twice (two full
@@ -68,6 +72,10 @@ object Curate {
       threshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // `scored` is consumed twice (survivors → LSH, and the verdict join)
+    // — DELIBERATELY two map-only text passes rather than persisting the
+    // corpus: at target scale caching every document's text is the wrong
+    // trade, and the scoring pass is cheap next to the LSH stages
     val scored = docs.map { case (id, text) =>
       val (lp, _) = graft.text.LangId.detect(text)
       (id, text, lp, graft.text.Quality.score(text).composite)
