@@ -20,6 +20,24 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** tmpdir fixture path keyed by sf dir: Verify and Bench runs at
+    * different sf dirs can never clobber each other's oracle fixtures
+    * (the q70 staging pattern, shared by every fixture-writing query).
+    */
+  private[graft] def fixtureDir(base: String, sfDir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+    new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"${base}_$tag").toString
+  }
+
+  /** The same path on the oracle side. `oracleSql` is a parameterless
+    * contract, so Verify pins the sf dir it ran at into `graft.sf.dir`
+    * before evaluating it; the default matches the driver's verify dir.
+    */
+  private def oracleFixtureDir(base: String): String =
+    fixtureDir(base, sys.props.getOrElse("graft.sf.dir", "/root/testdata/sf0.01"))
+
   /** Flagship: KG construction on the synthetic corpus. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -235,12 +253,13 @@ object SparkEntry {
       import s.implicits._
       val docs = s.read.parquet(t(d, "documents"))
         .select("doc_id", "text").as[(Long, String)]
-      // the materialized run feeds the DuckDB stability oracle; Bench
-      // (graft.bench property) must not clobber it — a bench at another
-      // sf dir racing the driver's compare would fail the gate spuriously
+      // the materialized run feeds the DuckDB stability oracle; the
+      // fixture path is keyed by sf dir and Bench (graft.bench property)
+      // skips the write — so neither a bench run nor a verify at another
+      // sf dir can clobber the fixture the driver's compare reads
       if (!sys.props.contains("graft.bench"))
         graft.dedup.MinHashLsh.bands(docs).toDF()
-          .write.mode("overwrite").parquet("/tmp/graft_q23_bands")
+          .write.mode("overwrite").parquet(fixtureDir("graft_q23_bands", d))
       graft.dedup.MinHashLsh.bands(docs).toDF()
     }),
     "q24_simhash" -> ((s, d) => {
@@ -1077,12 +1096,12 @@ object SparkEntry {
     // structural + stability oracle: reads the q23 query's OTHER run — a
     // violated structure predicate drops rows and fails the row/hash gate
     "q23_minhash_lsh" ->
-      """SELECT doc_id, band, band_hash FROM (
-        |  SELECT doc_id, band, band_hash,
-        |    count(*) OVER (PARTITION BY doc_id) AS nb
-        |  FROM read_parquet('/tmp/graft_q23_bands/*.parquet')
-        |  WHERE band >= 0 AND band < 16)
-        |WHERE nb = 16""".stripMargin,
+      s"""SELECT doc_id, band, band_hash FROM (
+         |  SELECT doc_id, band, band_hash,
+         |    count(*) OVER (PARTITION BY doc_id) AS nb
+         |  FROM read_parquet('${oracleFixtureDir("graft_q23_bands")}/*.parquet')
+         |  WHERE band >= 0 AND band < 16)
+         |WHERE nb = 16""".stripMargin,
     "q22_dedup_norm" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
         | count(*) AS n, min(doc_id) AS keeper

@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pin the sf dir for oracle-SQL fixture paths (oracleSql is a
+    // parameterless contract; fixture-writing queries key their paths by
+    // sf dir, and the oracle side must resolve the SAME path)
+    System.setProperty("graft.sf.dir", sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

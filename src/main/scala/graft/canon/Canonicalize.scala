@@ -152,25 +152,28 @@ object Canonicalize {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
-    // checkpoint-file bookkeeping: associate each checkpointed df with the
-    // rdd-* dirs it created, so superseded per-round snapshots can be
-    // deleted (otherwise up to maxIter copies of a web-scale labels table
-    // accumulate under the checkpoint dir per run)
+    // checkpoint-file bookkeeping: each checkpointed df owns exactly the
+    // rdd-* dir its own materialized RDD wrote — read off the checkpointed
+    // plan's LogicalRDD, NOT a before/after directory-listing diff, which
+    // would capture dirs a CONCURRENT caller sharing this checkpoint dir
+    // just created and let gcExcept delete them while still live. With
+    // per-RDD ownership, superseded per-round snapshots can be deleted
+    // safely (otherwise up to maxIter copies of a web-scale labels table
+    // accumulate under the checkpoint dir per run).
     val ckptFs = checkpointDir.map { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     }
-    def listCkptDirs(): Set[String] = ckptFs.map { case (fs, root) =>
-      if (!fs.exists(root)) Set.empty[String]
-      else fs.listStatus(root).iterator.filter(_.isDirectory)
-        .flatMap(u => fs.listStatus(u.getPath).map(_.getPath.toString)).toSet
-    }.getOrElse(Set.empty)
     val dirsOf = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Set[String])]
+    def ownedCkptDirs(df: DataFrame): Set[String] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getCheckpointFile
+      }.flatten.toSet
     def save(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
-        val before = listCkptDirs()
         val out = df.checkpoint()
-        dirsOf += ((out, listCkptDirs() -- before))
+        dirsOf += ((out, ownedCkptDirs(out)))
         out
       } else df.localCheckpoint()
     def gcExcept(live: Seq[DataFrame]): Unit = ckptFs.foreach { case (fs, _) =>

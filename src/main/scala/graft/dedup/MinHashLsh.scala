@@ -160,10 +160,6 @@ object MinHashLsh {
       }
     }.toDF("id", "h", "rep_text")
     val reps = hashed.groupBy("h").agg(min("id").as("rep"))
-    synchronized {
-      lastCached.foreach(_.unpersist(false))
-      lastCached = Nil
-    }
     val groups = hashed.join(reps, "h").select(col("id"), col("rep")).cache()
     val repDocs = hashed.join(reps, hashed("id") === reps("rep"))
       .select(col("id"), col("rep_text").as("text"))
@@ -172,7 +168,18 @@ object MinHashLsh {
     // 2. LSH candidates over representatives, signatures computed ONCE
     val sigs = repDocs.map { case (id, text) => (id, signature(text)) }
       .toDF("id", "sig").cache()
-    synchronized { lastCached = Seq(groups, sigs) }
+    // single atomic swap: the previous call's caches are registered out
+    // and this call's registered in under ONE lock, so there is no window
+    // where caches are unpersisted but untracked. A CONCURRENT call on
+    // this object can still unpersist caches mid-consumption — results
+    // stay correct (Spark recomputes), the signature pass just runs
+    // twice; serialize calls per JVM if that matters (see scaladoc).
+    val prev = synchronized {
+      val p = lastCached
+      lastCached = Seq(groups, sigs)
+      p
+    }
+    prev.foreach(_.unpersist(false))
     val b = sigs.as[(Long, Array[Long])]
       .flatMap { case (id, sig) => bandRowsFromSignature(id, sig) }
       .toDF("id", "band", "band_hash")
@@ -260,6 +267,11 @@ object MinHashLsh {
     * of clones) engages adaptively, only when a group is bigger than one
     * block. One cheap max-group-size job on the cached membership makes
     * the decision.
+    *
+    * Concurrency: calls on this object share one cache slot — invoke
+    * sequentially per JVM; overlapping calls stay correct but silently
+    * recompute the signature pass (see the swap note in
+    * `cloneGroupsAndRepPairs`).
     */
   def nearDuplicatePairs(
       docs: Dataset[(Long, String)],

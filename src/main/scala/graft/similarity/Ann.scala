@@ -138,8 +138,11 @@ object Ann {
   // and nlist ~ n/target the per-bucket work is flat and total work is
   // ~linear in n (recall is then governed by `tables` / `nprobe`).
 
-  /** bits so that expected bucket size ≈ targetBucket; clamped to the
-    * 48-bit signature space.
+  /** bits so that expected bucket size ≈ targetBucket; clamped to 40 —
+    * deliberately below the 48-bit packed-signature space `lshTopK` masks
+    * to, so random-hyperplane signatures keep collision mass (2^40 buckets
+    * already exceeds any corpus this engine targets divided by
+    * targetBucket).
     */
   def autoBits(n: Long, targetBucket: Int = 128): Int = {
     val ratio = math.max(1.0, n.toDouble / targetBucket)

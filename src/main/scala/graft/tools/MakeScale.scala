@@ -47,12 +47,20 @@ object MakeScale {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val keys = keyCols.getOrElse(name, Seq.empty)
       // shifted 32-bit keys must not wrap (silently desynchronizing fact
-      // and dimension copies) — fail fast instead
-      keys.foreach { c =>
-        if (base.schema(c).dataType == org.apache.spark.sql.types.IntegerType)
-          require((factor - 1).toLong * Stride + Stride <= Int.MaxValue,
+      // and dimension copies) — fail fast on the ACTUAL max key, not just
+      // the stride budget: a source key near Stride would wrap even when
+      // (factor-1)*Stride alone fits
+      val intKeys = keys.filter(c =>
+        base.schema(c).dataType == org.apache.spark.sql.types.IntegerType)
+      if (intKeys.nonEmpty) {
+        val row = base.agg(
+          max(col(intKeys.head)), intKeys.tail.map(c => max(col(c))): _*).head()
+        intKeys.zipWithIndex.foreach { case (c, i) =>
+          val maxKey = if (row.isNullAt(i)) 0L else row.getInt(i).toLong
+          require(maxKey + (factor - 1).toLong * Stride <= Int.MaxValue,
             s"factor $factor overflows 32-bit key column $name.$c " +
-              s"(max ${Int.MaxValue / Stride} copies at stride $Stride)")
+              s"(max key $maxKey + ${(factor - 1).toLong * Stride} > Int.MaxValue)")
+        }
       }
       if (keys.isEmpty) base
       else (0 until factor).map { k =>

@@ -53,6 +53,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reliable == local)
     // the reliable path actually wrote checkpoint data
     assert(new java.io.File(dir).listFiles().nonEmpty)
+    // ... and per-round GC kept only the LIVE snapshots: ownership
+    // tracking (LogicalRDD → rdd.getCheckpointFile) must both find the
+    // rdd-* dirs (else nothing is ever deleted and maxIter copies
+    // accumulate) and delete superseded rounds (≤4 live dfs remain)
+    val rddDirs = new java.io.File(dir).listFiles().toSeq
+      .flatMap(u => Option(u.listFiles()).map(_.toSeq).getOrElse(Nil))
+      .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    assert(rddDirs.nonEmpty && rddDirs.size <= 4,
+      s"expected 1..4 live checkpoint dirs after GC, found ${rddDirs.size}")
   }
 
   test("rewrite: shuffle-join path (no broadcast) matches the broadcast path") {
