@@ -36,14 +36,94 @@ object SimHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Combination cap: C(numBlocks, maxDist) candidate tables per rep.
+    * 64 covers every auto-sized configuration (maxDist 3 stops at b=8,
+    * C(8,3)=56) while bounding the fan-out a caller can request.
+    */
+  private val MaxCombos = 64L
+
+  private def binom(n: Int, k0: Int): Long = {
+    val k = math.min(k0, n - k0)
+    if (k < 0) return 0L
+    var acc = 1L
+    var i = 1
+    while (i <= k) {
+      acc = acc * (n - k + i) / i // n ≤ 64, so acc ≤ C(64,32) path is cut by the cap below long before overflow
+      if (acc > MaxCombos * 64) return Long.MaxValue
+      i += 1
+    }
+    acc
+  }
+
+  /** (combo_idx, packed key) rows for the block-combination scheme: for
+    * each of the C(b, b−maxDist) block subsets, the selected block values
+    * concatenated into one ≤64-bit key. Package-private so the
+    * boundedness spec can measure per-(ci, key) bucket population.
+    */
+  private[graft] def blockCombinationKeys(
+      reps: org.apache.spark.sql.DataFrame,
+      maxDist: Int,
+      b: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wBase = 64 / b
+    def blockWidth(i: Int): Int = if (i == b - 1) 64 - i * wBase else wBase
+    def blockCol(i: Int): org.apache.spark.sql.Column = {
+      val width = blockWidth(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftrightunsigned(col("h"), i * wBase).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until b).combinations(b - maxDist).toVector
+    val keyArr = array(combos.map { sel =>
+      // selected widths sum to ≤64, so the packed key fits one long;
+      // shiftleft(acc, 64) only occurs for the single-full-width block
+      // case, where acc is still the zero literal (Java shift-mod-64 is
+      // then a no-op and the OR carries the value)
+      sel.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, blockWidth(i)).bitwiseOR(blockCol(i))
+      }
+    }: _*)
+    reps.select(col("rid"), col("h"), posexplode(keyArr).as(Seq("ci", "key")))
+  }
+
+  /** Block count for [[hammingPairs]] auto-sized from corpus count — the
+    * `Ann.autoBits` pattern the sf1 scale-up bench forced onto ANN: the
+    * join key must carry ~log2(n / targetBucket) bits or expected bucket
+    * population n/2^width (and with it per-key candidate pairs) grows
+    * linearly with the corpus and the chunk-key self-join degenerates
+    * quadratically. More blocks widen the key — combination keys span
+    * (b − maxDist) blocks of 64/b bits — at the price of C(b, maxDist)
+    * key tables per fingerprint (the Manku/Jain/Das Sarma WWW'07
+    * trade-off). Smallest b whose key width reaches the target wins; if
+    * none does within the combination cap, the widest feasible b wins.
+    * maxDist=3: n ≤ ~4M → b=4 (16-bit keys, 4 tables), 10⁹ → b=5
+    * (24-bit, 10 tables), 10¹² → b=7 (36-bit, 35 tables).
+    */
+  def autoBlocks(n: Long, maxDist: Int = 3, targetBucket: Int = 64): Int = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt
+    val feasible = ((maxDist + 1) to 64).filter(b => binom(b, maxDist) <= MaxCombos)
+    def width(b: Int) = (b - maxDist) * (64 / b)
+    feasible.find(b => width(b) >= needed)
+      .getOrElse(feasible.maxBy(b => (width(b), -b)))
+  }
+
   /** EXACT Hamming-neighborhood self-join over 64-bit fingerprints via
-    * pigeonhole banding (the Manku/Jain/Das Sarma WWW'07 simhash-dedup
-    * pattern): split the fingerprint into `maxDist + 1` chunks — a pair
-    * within `maxDist` differing bits must agree on at least one chunk —
-    * so candidates come from equality joins on the chunk keys (shuffle on
-    * chunk values, never a cross join) and an exact popcount filter makes
-    * the result exact, not approximate. All-columnar (bit ops +
+    * block-combination pigeonhole keys (Manku/Jain/Das Sarma WWW'07):
+    * split the fingerprint into `numBlocks` > maxDist blocks — a pair
+    * within `maxDist` differing bits differs in at most maxDist blocks,
+    * so it agrees on some (numBlocks − maxDist)-block combination — and
+    * key the equality self-join on every such combination (shuffle on
+    * combination values, never a cross join). An exact popcount filter
+    * makes the result exact, not approximate. All-columnar (bit ops +
     * `bit_count` stay in whole-stage codegen).
+    *
+    * `numBlocks` 0 (default) auto-sizes from the corpus count
+    * ([[autoBlocks]]; one map-only count job unless `numDocsHint` is
+    * given) so per-key bucket population n/2^keyWidth stays ~flat as the
+    * corpus grows — the fixed 4×16-bit chunking this replaces held
+    * ~n/2¹⁶ reps per bucket, quadratic per key at 10⁹ distinct
+    * fingerprints.
     *
     * Input: (doc_id, h). Output: (a, b, hamming), a < b,
     * hamming ≤ maxDist. Identical fingerprints (exact/normalized clones)
@@ -52,29 +132,28 @@ object SimHash {
     */
   def hammingPairs(
       docs: org.apache.spark.sql.DataFrame,
-      maxDist: Int = 3): org.apache.spark.sql.DataFrame = {
+      maxDist: Int = 3,
+      numBlocks: Int = 0,
+      numDocsHint: Long = 0L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
-    val k = maxDist + 1
-    val base = 64 / k
+    val b =
+      if (numBlocks > 0) numBlocks
+      else autoBlocks(
+        if (numDocsHint > 0L) numDocsHint else docs.count(), maxDist)
+    require(b > maxDist && b <= 64, s"numBlocks $b out of range for maxDist $maxDist")
+    require(binom(b, maxDist) <= MaxCombos,
+      s"numBlocks $b yields ${binom(b, maxDist)} combination tables (cap $MaxCombos)")
     // 1. collapse identical fingerprints first (the MinHashLsh clone-
     // collapse pattern): boilerplate clone groups — the dominant hot-key
     // source — enter the join as ONE representative, not m rows whose
     // m² pairs would concentrate in a single chunk-key task
     val reps = docs.groupBy(col("h"))
       .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
-    // 2. one posexplode into (chunk_idx, chunk_val) keys and ONE
-    // equality self-join — not k separate self-joins, which would
-    // evaluate the input lineage 2k times (8 scans + simhash passes at
-    // maxDist 3 for an un-materialized input)
-    val chunkArr = array((0 until k).map { i =>
-      val lo = i * base
-      val width = if (i == k - 1) 64 - lo else base
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      shiftrightunsigned(col("h"), lo).bitwiseAND(lit(mask))
-    }: _*)
-    val keyed = reps.select(col("rid"), col("h"),
-      posexplode(chunkArr).as(Seq("ci", "key")))
+    // 2. one posexplode into (combo_idx, key) rows and ONE equality
+    // self-join — not C(b, maxDist) separate self-joins, which would
+    // evaluate the input lineage 2·C times
+    val keyed = blockCombinationKeys(reps, maxDist, b)
     val candReps = keyed.as("x").join(keyed.as("y"),
         col("x.ci") === col("y.ci") && col("x.key") === col("y.key") &&
           col("x.rid") < col("y.rid"))
