@@ -281,24 +281,44 @@ object SparkEntry {
     }),
 
     // the scale-path dedup contract: one (doc_id, cluster) assignment per
-    // document (rows-only here — LSH candidate recall is approximate; the
-    // planted-dup + 100k-clone specs are the correctness gate)
+    // document. LSH candidate recall is approximate (planted-dup +
+    // 100k-clone specs are that gate), but the deterministic SUBSET is
+    // DuckDB-oracled via the materialized fixture: completeness (exactly
+    // one row per doc), cluster <= doc_id, representative closure
+    // (cluster ids map to themselves), and exact clones (same md5)
+    // sharing their keeper's cluster — violations drop/add oracle rows
+    // and fail the row/hash gate
     "q65_near_dup_clusters" -> ((s, d) => {
       import s.implicits._
       val docs = s.read.parquet(t(d, "documents"))
         .select("doc_id", "text").as[(Long, String)]
-      graft.dedup.MinHashLsh.nearDuplicateClusters(docs, threshold = 0.5)
+      val clusters = graft.dedup.MinHashLsh
+        .nearDuplicateClusters(docs, threshold = 0.5)
         .toDF("doc_id", "cluster")
+      if (!sys.props.contains("graft.bench")) {
+        val fix = fixtureDir("graft_q65_clusters", d)
+        clusters.write.mode("overwrite").parquet(fix)
+        s.read.parquet(fix)
+      } else clusters
     }),
 
     // ---------- text analysis ----------
+    // LSH near-dup pairs: approximate recall by contract, but the exact-
+    // clone subset (jaccard = 1.0 from identical md5) is fully derivable
+    // in SQL — the oracle unions it in, so a missing/mis-scored clone
+    // pair or any structurally invalid row fails the row/hash gate
     "q49_near_dup_pairs" -> ((s, d) => {
       import s.implicits._
       val docs = s.read.parquet(t(d, "documents"))
         .select("doc_id", "text").as[(Long, String)]
-      graft.dedup.MinHashLsh.nearDuplicatePairs(docs, threshold = 0.5)
+      val pairs = graft.dedup.MinHashLsh.nearDuplicatePairs(docs, threshold = 0.5)
         .toDF("a", "b", "jaccard")
         .withColumn("jaccard", round(col("jaccard"), 4))
+      if (!sys.props.contains("graft.bench")) {
+        val fix = fixtureDir("graft_q49_pairs", d)
+        pairs.write.mode("overwrite").parquet(fix)
+        s.read.parquet(fix)
+      } else pairs
     }),
 
     // typed-map formulation kept deliberately: a Column/higher-order-
@@ -1106,6 +1126,62 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
         | count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+    // partial oracle over the materialized fixture: result equals the
+    // fixture iff (a) EVERY emitted pair's jaccard matches the exact
+    // 3-gram-shingle score recomputed in SQL (the scorer is
+    // deterministic: lowercased whitespace tokens → sliding word
+    // trigrams → set jaccard; a mis-scored or structurally invalid row
+    // is dropped and fails the row/hash gate) and (b) the SQL-derivable
+    // exact-clone subset (identical md5 → jaccard 1.0) is ALL present —
+    // a missing clone pair surfaces as an extra union row. Only recall
+    // of non-clone pairs stays approximate by contract (Spark-side
+    // planted-dup specs gate it).
+    "q49_near_dup_pairs" ->
+      s"""WITH p AS (
+         |  SELECT a, b, jaccard
+         |  FROM read_parquet('${oracleFixtureDir("graft_q49_pairs")}/*.parquet')),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |    ELSE list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS sg
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
+         |        FROM documents)),
+         |h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |cp AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM h x JOIN h y ON x.h = y.h AND x.doc_id < y.doc_id)
+         |SELECT p.a, p.b, p.jaccard
+         |FROM p
+         |JOIN sh sa ON p.a = sa.doc_id
+         |JOIN sh sb ON p.b = sb.doc_id
+         |WHERE p.a < p.b AND p.jaccard >= 0.5
+         |  AND p.jaccard = round(
+         |    CAST(len(list_intersect(list_distinct(sa.sg), list_distinct(sb.sg))) AS DOUBLE)
+         |      / len(list_distinct(sa.sg || sb.sg)), 4)
+         |UNION
+         |SELECT a, b, CAST(1.0 AS DOUBLE) AS jaccard FROM cp""".stripMargin,
+    // partial oracle: fixture rows pass four invariants (doc exists,
+    // cluster <= doc_id, representative closure — the cluster id's own
+    // row maps to itself — and exact clones share their md5-keeper's
+    // cluster); completeness is forced by unioning a sentinel row for
+    // any document MISSING from the fixture
+    "q65_near_dup_clusters" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, cluster
+         |  FROM read_parquet('${oracleFixtureDir("graft_q65_clusters")}/*.parquet')),
+         |grp AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM documents)
+         |SELECT x.doc_id, x.cluster FROM p x
+         |JOIN documents dd ON x.doc_id = dd.doc_id
+         |JOIN p q ON x.cluster = q.doc_id AND q.cluster = x.cluster
+         |JOIN grp g ON x.doc_id = g.doc_id
+         |JOIN p k ON g.keeper = k.doc_id AND k.cluster = x.cluster
+         |WHERE x.cluster <= x.doc_id
+         |UNION
+         |SELECT doc_id, CAST(-1 AS BIGINT) AS cluster FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM p)""".stripMargin,
     "q51_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INT)
