@@ -598,19 +598,18 @@ object SparkEntry {
       graft.streaming.StreamingPipeline.runOnce(s, dir.toString, "q45_out")
     }),
 
-    // streaming near-dup dedup end-to-end: docs parquet → readStream →
-    // stateful LSH band buckets → per-batch verdicts (rows-only: LSH
-    // candidate recall is approximate; StreamingDedupSpec carries the
-    // correctness gates incl. a checkpoint restart)
+    // streaming near-dup dedup end-to-end through the PRODUCTION sink:
+    // docs parquet → readStream → stateful LSH band buckets → per-batch
+    // verdicts written to a parquet table by executors (no driver
+    // collect), read back as the query result (rows-only: LSH candidate
+    // recall is approximate; StreamingDedupSpec carries the correctness
+    // gates incl. a checkpoint restart and eviction-miss trade-off)
     "q70_stream_dedup" -> ((s, d) => {
       import s.implicits._
       // staging keyed by source dir (verify at sf0.01 and bench at sf0.1
       // must not clobber each other) and written once per corpus — the
       // stream input is a pure function of the sf dir
-      val tag = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_q70_docs_$tag")
+      val dir = new java.io.File(fixtureDir("graft_q70_docs", d))
       // _SUCCESS, not dir existence: a crash mid-write must not leave a
       // half-staged corpus that every later run silently streams
       if (!new java.io.File(dir, "_SUCCESS").exists())
@@ -619,8 +618,15 @@ object SparkEntry {
             id, new java.sql.Timestamp(1600000000000L + id * 1000L), text) }
           .toDF().coalesce(4)
           .write.mode("overwrite").parquet(dir.toString)
-      graft.streaming.StreamingDedup.runOnce(
-        s, dir.toString, "q70_dedup", threshold = 0.8)
+      // fresh verdict table per invocation: no streaming checkpoint, so
+      // AvailableNow replays the full corpus and stale batch partitions
+      // must not survive into the read-back
+      val out = fixtureDir("graft_q70_out", d)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.streaming.StreamingDedup.run(
+        s, dir.toString, "q70_dedup", out, threshold = 0.8)
+      s.read.parquet(out).select("doc_id", "dup_of", "est")
     }),
 
     // ---------- streaming (§2.10) ----------

@@ -124,8 +124,49 @@ object StreamingDedup {
       .agg(max(struct(col("est"), col("dup_of"))).as("m"))
       .select(col("doc_id"), col("m.dup_of").as("dup_of"), col("m.est").as("est"))
 
+  /** PRODUCTION topology: drain new files from `dir` through the dedup
+    * stream and write per-batch verdicts to a parquet table at `outDir`
+    * — executors write directly, nothing is collected to the driver
+    * (unlike [[runOnce]], the bounded in-memory harness the specs and
+    * the q70 driver query formerly used). Each micro-batch overwrites
+    * its own `outDir/batch=<id>` partition, so a batch replayed after a
+    * failure (same streaming checkpoint) lands idempotently instead of
+    * appending duplicate rows; readers see the union via standard
+    * partition discovery (`spark.read.parquet(outDir)`).
+    *
+    * Verdict reduction stays exact inside `foreachBatch`: a doc's band
+    * rows always land in the same micro-batch (see [[verdicts]]).
+    */
+  def run(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      name: String,
+      outDir: String,
+      threshold: Double = 0.8,
+      checkpoint: Option[String] = None,
+      watermark: String = "1 hour"): Unit = {
+    import spark.implicits._
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val docs = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[DocIn].schema)
+      .parquet(dir).as[DocIn]
+    val writer = candidates(docs, threshold, watermark = watermark).writeStream
+      .queryName(name)
+      .foreachBatch { (batch: Dataset[Candidate], batchId: Long) =>
+        verdicts(batch.toDF())
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer.start()
+    q.awaitTermination()
+  }
+
   /** Drain a docs parquet directory through the dedup stream once
     * (AvailableNow), collecting per-batch verdicts into a memory table.
+    * A TEST/DRIVER harness (bounded: one row per detected dup) — the
+    * packaged entry point for real topologies is [[run]].
     */
   def runOnce(
       spark: org.apache.spark.sql.SparkSession,

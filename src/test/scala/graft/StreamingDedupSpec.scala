@@ -69,4 +69,66 @@ class StreamingDedupSpec extends AnyFunSuite {
     (101L to 104L).foreach(id => assert(verdicts.get(id).contains(100L),
       s"$id not flagged against first-seen rep: $verdicts"))
   }
+
+  test("production sink: per-batch verdict partitions match the in-memory harness") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup3_docs").toString
+    val out = java.nio.file.Files.createTempDirectory("sdedup3_out").toString + "/v"
+    (Seq(DocIn(5L, ts(1), boiler), DocIn(6L, ts(2), boiler),
+      DocIn(7L, ts(3), variant)) ++
+      (10L to 12L).map(i => DocIn(i, ts(4), fresh(i.toInt))))
+      .toDS().write.mode("append").parquet(dir)
+    StreamingDedup.run(spark, dir, "sdedup_prod", out, threshold = 0.5)
+    val table = spark.read.parquet(out)
+      .select("doc_id", "dup_of", "est")
+      .as[(Long, Long, Double)].collect().toSet
+    val harness = StreamingDedup.runOnce(spark, dir, "sdedup_prod_ref",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(table == harness && table.nonEmpty,
+      s"written table $table != harness $harness")
+    // partition layout: one batch=<id> dir per micro-batch, so a batch
+    // replayed after failure overwrites its own partition (idempotent)
+    val parts = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("batch=")), parts.toSeq)
+  }
+
+  test("event-time eviction: a dup arriving past the watermark is MISSED — the documented state-bound trade-off") {
+    import spark.implicits._
+    def minutes(m: Int) = Timestamp.valueOf(f"2025-09-27 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    def driveBatches(watermark: String): Map[Long, Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("sdedup4_docs").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("sdedup4_ckpt").toString
+      val out0 = java.nio.file.Files.createTempDirectory("sdedup4_out").toString + "/v"
+      def batch(docs: Seq[DocIn]): Unit = {
+        docs.toDS().write.mode("append").parquet(dir)
+        StreamingDedup.run(spark, dir, s"sdedup_evict_$watermark", out0,
+          threshold = 0.5, checkpoint = Some(ckpt), watermark = watermark)
+      }
+      // b1: the original; b2/b3: unrelated fillers whose event times
+      // advance the watermark past the original's bucket timeouts (the
+      // timeout fires in b3, when the bucket sees no data and the
+      // watermark — derived from b2's max event time — has passed it)
+      batch(Seq(DocIn(1L, minutes(1), boiler)))
+      batch(Seq(DocIn(2L, minutes(150), fresh(2))))
+      batch(Seq(DocIn(3L, minutes(160), fresh(3))))
+      // b4: an exact clone of doc 1, arriving 159 minutes after it
+      batch(Seq(DocIn(4L, minutes(170), boiler)))
+      spark.read.parquet(out0).select("doc_id", "dup_of")
+        .as[(Long, Long)].collect().toMap
+    }
+    // 1-hour watermark: doc 1's buckets were evicted before the clone
+    // arrived — the clone is NOT flagged (inherent false negative of
+    // bounded state; arrival gap 159 min > 60 min delay)
+    val evicted = driveBatches("1 hours")
+    assert(!evicted.contains(4L),
+      s"clone should MISS after eviction: $evicted")
+    // 6-hour watermark on the same arrival pattern: state survives the
+    // gap and the clone IS flagged — the miss window is exactly the
+    // watermark delay, the knob operators size against recrawl cadence
+    val kept = driveBatches("6 hours")
+    assert(kept.get(4L).contains(1L),
+      s"clone should match with a watermark longer than the gap: $kept")
+  }
 }
