@@ -753,7 +753,8 @@ object SparkEntry {
                 (id % 500 + 100).toInt)
             else
               graft.multimodal.BinaryFeatures.syntheticMp4(
-                ((id % 9 + 1) * 600).toInt, (id % 100000 + 1000).toInt)
+                ((id % 9 + 1) * 600).toInt, (id % 100000 + 1000).toInt,
+                ((id % 5 + 1) * 8000).toInt, if (id % 4 == 1) 1 else 2)
           (id, bytes)
         }
       graft.multimodal.BinaryFeatures.probe(media).toDF()
@@ -1592,12 +1593,13 @@ object SparkEntry {
         | CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
         | CAST(CASE WHEN doc_id % 2 = 0
         |   THEN 44 + (doc_id % 500 + 100) * ((doc_id // 2) % 2 + 1) * 2
-        |   ELSE 132 END AS INT) AS byte_len,
+        |   ELSE 216 END AS INT) AS byte_len,
         | CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 1000
-        |   ELSE 0 END AS INT) AS sample_rate,
+        |   ELSE (doc_id % 5 + 1) * 8000 END AS INT) AS sample_rate,
         | CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1
-        |   ELSE 0 END AS INT) AS channels,
-        | CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS INT) AS bits_per_sample,
+        |   ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END
+        |   END AS INT) AS channels,
+        | CAST(16 AS INT) AS bits_per_sample,
         | CAST(CASE WHEN doc_id % 2 = 0
         |   THEN ((doc_id % 500 + 100) * 1000) // (8000 + (doc_id % 8) * 1000)
         |   ELSE ((doc_id % 100000 + 1000) * 1000) // ((doc_id % 9 + 1) * 600)

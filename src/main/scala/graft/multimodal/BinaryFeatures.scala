@@ -185,26 +185,38 @@ object BinaryFeatures {
     }
   }
 
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
   /** ISO-BMFF (MP4) header probe: walks top-level boxes to `moov`, then
-    * its children to `mvhd` (v0 or v1), yielding timescale + duration.
-    * Sample rate/channels stay 0 — they live in codec-specific sample
-    * entries this probe deliberately does not descend into.
+    * its children to `mvhd` (v0 or v1) for timescale + duration, and
+    * descends `trak/mdia/minf/stbl/stsd` to the `mp4a` AudioSampleEntry
+    * for sample rate (16.16 fixed), channel count, and sample size —
+    * the codec-box descent round 3 deliberately deferred. Streams with
+    * no audio trak report rate/channels/bits 0.
     */
   def probeMp4(id: Long, b: Array[Byte]): Option[AvFeatures] = {
     if (b.length < 16 || tag(b, 4) != "ftyp") return None
     // Long cursor: a crafted box size ≥ 2^31 must walk off the end and
-    // return None, not wrap negative and index the array out of bounds
-    def findBox(from: Long, until: Long, name: String): Option[(Int, Int)] = {
+    // stop, not wrap negative and index the array out of bounds; a
+    // size < 8 aborts the walk (progress guarantee on untrusted bytes)
+    def boxes(from: Long, until: Long): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
       var pos = from
-      while (pos + 8 <= until) {
+      var ok = pos >= 0
+      while (ok && pos + 8 <= until) {
         val size = be32(b, pos.toInt) // unsigned 32-bit in a Long
-        if (size < 8) return None
-        if (tag(b, pos.toInt + 4) == name)
-          return Some(((pos + 8).toInt, math.min(until, pos + size).toInt))
-        pos += size
+        if (size < 8) ok = false
+        else {
+          out += ((tag(b, pos.toInt + 4), (pos + 8).toInt,
+            math.min(until, pos + size).toInt))
+          pos += size
+        }
       }
-      None
+      out.result()
     }
+    def findBox(from: Long, until: Long, name: String): Option[(Int, Int)] =
+      boxes(from, until).collectFirst { case (`name`, s, e) => (s, e) }
     for {
       (moovStart, moovEnd) <- findBox(0, b.length, "moov")
       (mvhdStart, mvhdEnd) <- findBox(moovStart, moovEnd, "mvhd")
@@ -215,7 +227,30 @@ object BinaryFeatures {
         if (version == 1 && mvhdStart + 32 <= mvhdEnd)
           (be32(b, mvhdStart + 20), be64(b, mvhdStart + 24))
         else (be32(b, mvhdStart + 12), be32(b, mvhdStart + 16))
-      AvFeatures(id, "mp4", b.length, 0, 0, 0,
+      // AudioSampleEntry layout after the mp4a box header: 6 reserved +
+      // 2 data_reference_index + 8 reserved, then channelcount(2),
+      // samplesize(2), pre_defined(2), reserved(2), samplerate as
+      // 16.16 fixed(4) — 28 bytes total. First audio trak wins.
+      val audio = boxes(moovStart, moovEnd).iterator
+        .collect { case ("trak", ts, te) => (ts, te) }
+        .flatMap { case (ts, te) =>
+          for {
+            (mdS, mdE) <- findBox(ts, te, "mdia")
+            (mfS, mfE) <- findBox(mdS, mdE, "minf")
+            (sbS, sbE) <- findBox(mfS, mfE, "stbl")
+            (sdS, sdE) <- findBox(sbS, sbE, "stsd")
+            // stsd payload: version+flags(4) + entry_count(4), then
+            // sample-entry boxes
+            (aS, aE) <- findBox(sdS + 8L, sdE, "mp4a")
+            if aS + 28 <= aE
+          } yield (
+            (be32(b, aS + 24) >>> 16).toInt, // samplerate 16.16 → integer part
+            be16(b, aS + 16), // channelcount
+            be16(b, aS + 18)) // samplesize
+        }
+        .take(1).toList.headOption
+      val (rate, channels, bits) = audio.getOrElse((0, 0, 0))
+      AvFeatures(id, "mp4", b.length, rate, channels, bits,
         if (timescale > 0) duration * 1000L / timescale else 0L)
     }
   }
@@ -244,7 +279,9 @@ object BinaryFeatures {
     out.array()
   }
 
-  /** Deterministic minimal MP4 fixture: `ftyp` + `moov`/`mvhd` (v0). */
+  /** Deterministic minimal MP4 fixture: `ftyp` + `moov`/`mvhd` (v0),
+    * no audio trak (probes report rate/channels/bits 0).
+    */
   def syntheticMp4(timescale: Int, duration: Int): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(16 + 8 + 108)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -255,6 +292,41 @@ object BinaryFeatures {
       .putInt(0).putInt(0) // creation/modification
       .putInt(timescale).putInt(duration)
     // rate/volume/reserved/matrix/predefined/next_track: zeros suffice
+    out.array()
+  }
+
+  /** Deterministic MP4 fixture WITH a minimal audio trak:
+    * `ftyp` + `moov`/(`mvhd` + `trak/mdia/minf/stbl/stsd/mp4a`) — the
+    * AudioSampleEntry carries the given sample rate (16.16 fixed),
+    * channel count, and 16-bit samples, exercising the full `stsd`
+    * descent of [[probeMp4]]. 216 bytes total.
+    */
+  def syntheticMp4(
+      timescale: Int, duration: Int,
+      sampleRate: Int, channels: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(216)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    out.putInt(200).put("moov".getBytes)
+    out.putInt(108).put("mvhd".getBytes)
+    out.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification
+      .putInt(timescale).putInt(duration)
+    out.position(out.position() + 80) // rest of mvhd: zeros suffice
+    out.putInt(84).put("trak".getBytes)
+    out.putInt(76).put("mdia".getBytes)
+    out.putInt(68).put("minf".getBytes)
+    out.putInt(60).put("stbl".getBytes)
+    out.putInt(52).put("stsd".getBytes)
+    out.putInt(0).putInt(1) // stsd version+flags, entry_count = 1
+    out.putInt(36).put("mp4a".getBytes)
+    out.putInt(0).putShort(0) // 6 reserved bytes
+      .putShort(1) // data_reference_index
+      .putLong(0L) // 8 reserved bytes
+      .putShort(channels.toShort)
+      .putShort(16) // samplesize
+      .putShort(0).putShort(0) // pre_defined + reserved
+      .putInt(sampleRate << 16) // 16.16 fixed
     out.array()
   }
 

@@ -639,6 +639,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wav == AvFeatures(1L, "wav", 44 + 44100 * 2 * 2, 44100, 2, 16, 1000L))
     val mp4 = probeAv(2L, syntheticMp4(600, 1500))
     assert(mp4 == AvFeatures(2L, "mp4", 132, 0, 0, 0, 2500L))
+    // audio trak: the stsd descent reads rate/channels/bits from the
+    // mp4a AudioSampleEntry (16.16 fixed-point rate)
+    val mp4a = probeAv(7L, syntheticMp4(600, 1500, 48000, 2))
+    assert(mp4a == AvFeatures(7L, "mp4", 216, 48000, 2, 16, 2500L))
     // mvhd version 1 (64-bit duration) — hand-assembled
     val v1 = java.nio.ByteBuffer.allocate(16 + 8 + 44)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
