@@ -317,6 +317,17 @@ object SparkEntry {
           .selectExpr("doc_id", "simhash64(text) AS h"),
         maxDist = 3)
     }),
+    // scale-path simhash contract: one (doc_id, cluster) row per doc —
+    // and, unlike the LSH cluster contract, fully DETERMINISTIC (exact
+    // pair join + CC), so the whole output is value-level oracled via a
+    // recursive-CTE connected components over the SQL-mirrored simhash
+    "q72_simhash_clusters" -> ((s, d) => {
+      graft.expr.SimHash64Expr.register(s)
+      graft.dedup.SimHash.hammingClusters(
+        s.read.parquet(t(d, "documents"))
+          .selectExpr("doc_id", "simhash64(text) AS h"),
+        maxDist = 3)
+    }),
 
     // the scale-path dedup contract: one (doc_id, cluster) assignment per
     // document. LSH candidate recall is approximate (planted-dup +
@@ -1133,6 +1144,21 @@ object SparkEntry {
          |  FROM c x JOIN c y ON x.doc_id < y.doc_id
          |    AND (x.c0 = y.c0 OR x.c1 = y.c1 OR x.c2 = y.c2 OR x.c3 = y.c3))
          |WHERE hamming <= 3""".stripMargin,
+    // FULL value-level cluster oracle: exact hamming pairs over the
+    // simhash mirror, then min-label connected components via recursive
+    // CTE (the q32 pattern) — every (doc, cluster) assignment checked
+    "q72_simhash_clusters" ->
+      s"""WITH RECURSIVE sh AS ($simhashOracleSql),
+         |e AS (
+         |  SELECT x.doc_id AS src, y.doc_id AS dst
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |reach(node, m) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT b.dst, r.m FROM reach r JOIN bidir b ON b.src = r.node)
+         |SELECT node AS doc_id, min(m) AS cluster FROM reach GROUP BY node""".stripMargin,
     "q28_fingerprint" -> fingerprintOracleSql,
     // winnowing mirror: FNV per k-char window, MIN taken over the SIGNED
     // values (the Scala loop compares Longs), short texts fall back to

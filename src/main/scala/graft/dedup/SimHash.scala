@@ -136,6 +136,68 @@ object SimHash {
       numBlocks: Int = 0,
       numDocsHint: Long = 0L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    val (groups, candReps) =
+      groupsAndRepPairs(docs, maxDist, numBlocks, numDocsHint)
+    // expand back through the fingerprint groups with the same BLOCKED
+    // bounded-per-task enumeration MinHashLsh uses: intra-group pairs at
+    // distance 0 (m² output for an m-clone group is inherent to the pair
+    // contract; [[hammingClusters]] is the scale path), cross-group rep
+    // pairs through both member lists
+    val intra = MinHashLsh.clonePairsBlocked(groups, 4096)
+      .toDF("a", "b", "j")
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+    val cross = MinHashLsh.expandRepPairsBlocked(groups,
+        candReps.select(col("ra"), col("rb"),
+          col("hamming").cast("double").as("j")), 4096)
+      .toDF("a", "b", "j")
+      .select(col("a"), col("b"), col("j").cast("int").as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** Scale-path simhash contract, mirroring
+    * [[MinHashLsh.nearDuplicateClusters]]: ONE (doc_id, cluster) row per
+    * input document — `cluster` is the minimum doc_id of the doc's
+    * connected component in the hamming ≤ maxDist graph (identical
+    * fingerprints collapse first; CC runs over the tiny rep-pair graph).
+    * A 10⁶-copy boilerplate page costs 10⁶ assignment rows, never the
+    * pair contract's 5·10¹¹ pairs. Unlike the MinHash cluster contract
+    * this one is fully DETERMINISTIC (the pair join is exact, not
+    * LSH-approximate), so the whole output is value-level oracle-able.
+    */
+  def hammingClusters(
+      docs: org.apache.spark.sql.DataFrame,
+      maxDist: Int = 3,
+      numBlocks: Int = 0,
+      numDocsHint: Long = 0L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (groups, candReps) =
+      groupsAndRepPairs(docs, maxDist, numBlocks, numDocsHint)
+    // CC over rep pairs; ids zero-padded so Canonicalize's
+    // lexicographic-min label == numeric-min doc id (the
+    // nearDuplicateClusters pattern). The overall min doc id of a
+    // component is always a representative (each rep is the min of its
+    // fingerprint group), so min-rep == min-doc.
+    def pad(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
+    val edges = candReps.select(pad(col("ra")).as("src"), pad(col("rb")).as("dst"))
+    val labels = graft.canon.Canonicalize.connectedComponents(edges)
+      .select(col("node").cast("long").as("rep"),
+        col("component").cast("long").as("cluster"))
+    groups.join(labels, Seq("rep"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
+  }
+
+  /** Shared front half: clone collapse over identical fingerprints,
+    * block-combination candidate join, exact popcount verify. Returns
+    * (groups = (id, rep) fingerprint membership, candReps = verified
+    * (ra, rb, hamming) pairs BETWEEN representatives).
+    */
+  private def groupsAndRepPairs(
+      docs: org.apache.spark.sql.DataFrame,
+      maxDist: Int,
+      numBlocks: Int,
+      numDocsHint: Long): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
     require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
     val b =
       if (numBlocks > 0) numBlocks
@@ -163,22 +225,9 @@ object SimHash {
       .select(col("ra"), col("rb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
-    // 3. expand back through the fingerprint groups with the same BLOCKED
-    // bounded-per-task enumeration MinHashLsh uses: intra-group pairs at
-    // distance 0 (m² output for an m-clone group is inherent to the pair
-    // contract; the cluster contract is the scale path), cross-group rep
-    // pairs through both member lists
     val groups = docs.select(col("doc_id"), col("h"))
       .join(reps.select(col("h"), col("rid")), "h")
       .select(col("doc_id").as("id"), col("rid").as("rep"))
-    val intra = MinHashLsh.clonePairsBlocked(groups, 4096)
-      .toDF("a", "b", "j")
-      .select(col("a"), col("b"), lit(0).as("hamming"))
-    val cross = MinHashLsh.expandRepPairsBlocked(groups,
-        candReps.select(col("ra"), col("rb"),
-          col("hamming").cast("double").as("j")), 4096)
-      .toDF("a", "b", "j")
-      .select(col("a"), col("b"), col("j").cast("int").as("hamming"))
-    cross.unionByName(intra)
+    (groups, candReps)
   }
 }

@@ -509,6 +509,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(auto == expected)
   }
 
+  test("simhash clusters: matches brute-force connected components, one row per doc") {
+    import spark.implicits._
+    // planted structure: a 3-doc clone group (identical h), a CHAIN of
+    // fingerprints each within distance 2 of the next but 4+ from the
+    // ends (transitivity must merge them), and singletons
+    val base = 0x0123456789abcdefL
+    val docs0 = Vector(
+      (1L, base), (2L, base), (3L, base), // clones
+      (10L, base ^ 3L), // dist 2 from clones
+      (11L, base ^ 3L ^ (3L << 10)), // dist 2 from 10, 4 from clones
+      (20L, 0x7777000011112222L), // singleton
+      (21L, 0x7777000011112222L ^ (0xFFL << 32))) // dist 8 from 20: separate
+    val got = SimHash.hammingClusters(docs0.toDF("doc_id", "h"), maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find ground truth
+    val parent = scala.collection.mutable.Map(docs0.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { a <- docs0; b <- docs0 if a._1 < b._1
+          if java.lang.Long.bitCount(a._2 ^ b._2) <= 3 } {
+      val (ra, rb) = (find(a._1), find(b._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs0.map(d => d._1 -> find(d._1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // the chain merged transitively into the clones' cluster...
+    assert(got(11L) == 1L && got(10L) == 1L && got(2L) == 1L)
+    // ...and the distance-8 pair stayed apart
+    assert(got(20L) == 20L && got(21L) == 21L)
+  }
+
   test("simhash hamming pairs: auto-sized blocks bound per-key buckets at scale") {
     // key width grows with corpus count (the Ann.autoBits pattern): the
     // fixed 4x16-bit chunking held ~n/2^16 reps per bucket — quadratic
