@@ -52,6 +52,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("MapElements"), "fell back to Dataset.map")
   }
 
+  test("simhash pair/cluster joins shuffle on combination keys — never a product join") {
+    // the scale property of the block-combination scheme: candidates
+    // come from EQUALITY joins on (ci, key), so the physical plan must
+    // contain hash/sort joins only — a cartesian or broadcast-nested-
+    // loop product here is exactly the 100 TB blow-up the scheme exists
+    // to prevent
+    Seq("q71_simhash_pairs", "q72_simhash_clusters").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a product join:\n$p")
+    }
+  }
+
   test("custom-expression generated code actually COMPILES (no silent janino fallback)") {
     // a WholeStageCodegen span in the plan is necessary but not
     // sufficient: janino compile errors fall back to interpreted mode at
