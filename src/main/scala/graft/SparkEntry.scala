@@ -38,12 +38,16 @@ object SparkEntry {
   private def oracleFixtureDir(base: String): String =
     fixtureDir(base, sys.props.getOrElse("graft.sf.dir", "/root/testdata/sf0.01"))
 
-  /** DuckDB mirror of `Ann.dot` + the floor(x·1e5+0.5)/1e5 rounding —
-    * the same arithmetic the fully-oracled q30 uses.
+  /** DuckDB mirror of `Ann.dot` + its floor(x·1e5+0.5)/1e5 rounding,
+    * mirrored EXACTLY rather than via SQL round(): round-half-away and
+    * floor-half-up disagree on negative values landing on a .5
+    * boundary, so the literal floor expression removes that (ulp-rare
+    * but real) divergence class.
     */
   private def dotMirror(ea: String, eb: String): String =
-    s"""round(list_sum(list_transform(list_zip($ea.embedding, $eb.embedding),
-       | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 5)""".stripMargin
+    s"""(floor(list_sum(list_transform(list_zip($ea.embedding, $eb.embedding),
+       | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) * 100000 + 0.5)
+       | / 100000)""".stripMargin
 
   /** Partial oracle for an ANN top-k fixture (qid, nid, sim, rk): every
     * emitted row's sim must equal the exact dot product and rk the rank
@@ -307,9 +311,13 @@ object SparkEntry {
       s.read.parquet(t(d, "documents"))
         .selectExpr("doc_id", "simhash64(text) AS simhash")
     }),
-    // EXACT hamming-neighborhood pairs via pigeonhole chunk joins — the
-    // simhash-dedup join is deterministic, so it gets a full value-level
-    // oracle (chunk arithmetic + popcount mirrored over the q24 CTE)
+    // EXACT hamming-neighborhood pairs via auto-sized block-combination
+    // pigeonhole keys (SimHash.hammingPairs scaladoc) — deterministic,
+    // so it gets a full value-level oracle. The oracle's own candidate
+    // generator stays the simple 4x16-bit chunk OR-join over the q24
+    // mirror: ANY pigeonhole family is exact after the popcount filter,
+    // so oracle and operator agree regardless of the Spark-side block
+    // count.
     "q71_simhash_pairs" -> ((s, d) => {
       graft.expr.SimHash64Expr.register(s)
       graft.dedup.SimHash.hammingPairs(
@@ -1251,18 +1259,23 @@ object SparkEntry {
     // streaming dedup partial oracle over the production sink's written
     // table: one verdict per flagged doc, dup_of strictly earlier (event
     // time is monotone in doc_id for this corpus), est in [threshold, 1],
-    // both ids real; any doc with an EARLIER md5-clone must have been
-    // flagged (union sentinel). Which near-dups get discovered stays
-    // approximate by contract (StreamingDedupSpec gates it).
+    // both ids real; any doc with an earlier md5-clone WITHIN THE
+    // WATERMARK HORIZON must have been flagged (union sentinel — staging
+    // assigns 1 event-second per doc_id, so the 1-hour watermark = 3600
+    // ids; clones farther apart may legitimately be evicted between
+    // micro-batches, the documented state-bound trade-off, and must NOT
+    // fail the gate). Which near-dups get discovered stays approximate
+    // by contract (StreamingDedupSpec gates it).
     "q70_stream_dedup" ->
       s"""WITH p AS (
          |  SELECT doc_id, dup_of, est
          |  FROM read_parquet('${oracleFixtureDir("graft_q70_out")}/*/*.parquet')),
          |cl AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
-         |    FROM documents)
-         |  WHERE doc_id > k)
+         |  SELECT DISTINCT y.doc_id
+         |  FROM (SELECT doc_id, md5(text) AS h FROM documents) x
+         |  JOIN (SELECT doc_id, md5(text) AS h FROM documents) y
+         |    ON x.h = y.h AND x.doc_id < y.doc_id
+         |       AND y.doc_id - x.doc_id <= 3600)
          |SELECT doc_id, dup_of, est FROM (
          |  SELECT p.doc_id, p.dup_of, p.est,
          |    count(*) OVER (PARTITION BY p.doc_id) AS nb
