@@ -602,6 +602,21 @@ object SparkEntry {
       materialized(s, d, "graft_q52_topk", topk)
     }),
 
+    // int8 embedding quantization (the 100 TB storage path: 4x smaller
+    // embedding column) — double arithmetic end-to-end, so the codes
+    // are bit-deterministic and fully value-level oracled (the codes
+    // array is compared via an md5 digest of its comma-joined form;
+    // scale compares as an exact double)
+    "q73_embed_quantize" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      graft.similarity.Quantize.int8(vecs)
+        .select(col("vec_id"), col("scale"),
+          md5(concat_ws(",", transform(col("codes"), c => c.cast("string"))))
+            .as("codes_md5"))
+    }),
+
     // quantile summary: exact discrete percentiles (SQL-standard
     // percentile_disc) oracled value-for-value, plus an in-query gate
     // that the t-digest approx_percentile lands within 1% relative error
@@ -1329,6 +1344,21 @@ object SparkEntry {
         | round(sqrt(list_sum(list_transform(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
         |FROM embeddings""".stripMargin,
+    // exact value-level mirror of the int8 quantizer: identical double
+    // arithmetic (float widens exactly; max is order-independent;
+    // floor-half-up matches), codes digested identically
+    "q73_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+        |      AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  md5(array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(CASE WHEN scale = 0 THEN 0
+        |      ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS BIGINT) AS VARCHAR)),
+        |    ',')) AS codes_md5
+        |FROM q""".stripMargin,
     "q30_cosine_knn" ->
       """SELECT qid, nid, sim, rk FROM (
         | SELECT a.vec_id AS qid, b.vec_id AS nid,

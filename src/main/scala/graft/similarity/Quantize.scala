@@ -1,0 +1,47 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Symmetric per-vector int8 quantization for embedding STORAGE at
+  * scale: a 100 TB corpus's float32 embedding column is 4× smaller as
+  * int8 codes + one float scale per vector, with bounded per-component
+  * error ≤ scale/2 (for unit-norm embeddings, dot products on
+  * dequantized vectors stay within ~1% — spec-gated).
+  *
+  * All arithmetic is DOUBLE end-to-end (each float widens exactly), so
+  * the output is bit-deterministic and SQL-mirrorable:
+  * scale = max|x| / 127, code_i = floor(x_i/scale + 0.5) — half-up,
+  * matching the `Ann.dot` rounding convention. Zero vectors get
+  * scale 0 and all-zero codes.
+  *
+  * Typed map, not HOF columns: same measured trade as the quality
+  * scorer (BENCH.md "measured, not guessed") — tight scalar loops beat
+  * CodegenFallback lambdas per element.
+  */
+object Quantize {
+
+  def int8(vectors: Dataset[(Long, Array[Float])]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.map { case (id, v) =>
+      var m = 0.0
+      v.foreach { x => val a = math.abs(x.toDouble); if (a > m) m = a }
+      val scale = m / 127.0
+      val codes =
+        if (scale == 0.0) Array.fill(v.length)(0)
+        else v.map(x => math.floor(x.toDouble / scale + 0.5).toInt)
+      (id, scale, codes)
+    }.toDF("vec_id", "scale", "codes")
+  }
+
+  /** Inverse: codes × scale back to float32 (the read path). */
+  def dequantize(scale: Double, codes: Array[Int]): Array[Float] =
+    codes.map(c => (c * scale).toFloat)
+
+  /** Max absolute reconstruction error of one vector (≤ scale/2 by
+    * construction; exposed for the spec gate).
+    */
+  def maxError(v: Array[Float], scale: Double, codes: Array[Int]): Double =
+    v.zip(codes).map { case (x, c) => math.abs(x.toDouble - c * scale) }
+      .foldLeft(0.0)(math.max)
+}

@@ -509,6 +509,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(auto == expected)
   }
 
+  test("int8 quantization: bounded error, faithful roundtrip, zero-vector safe") {
+    import spark.implicits._
+    import graft.similarity.Quantize
+    val rnd = new scala.util.Random(5)
+    val vecs = Seq.tabulate(50) { i =>
+      (i.toLong,
+        if (i == 0) Array.fill(8)(0f) // zero vector
+        else Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val out = Quantize.int8(vecs.toDS())
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2).toArray))
+    val byId = vecs.toMap
+    out.foreach { case (id, scale, codes) =>
+      val v = byId(id)
+      assert(codes.length == v.length)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code out of range: $id")
+      if (id == 0L) assert(scale == 0.0 && codes.forall(_ == 0))
+      else {
+        // per-component error bounded by scale/2 (+ ulp headroom)
+        assert(Quantize.maxError(v, scale, codes) <= scale / 2 + 1e-12, s"vec $id")
+        // cosine of dequantized vs original stays near 1 for non-tiny vectors
+        val dq = Quantize.dequantize(scale, codes)
+        def dot(a: Array[Float], b: Array[Float]) =
+          a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val cos = dot(v, dq) / math.sqrt(dot(v, v) * dot(dq, dq))
+        assert(cos > 0.995, s"vec $id cosine $cos")
+      }
+    }
+  }
+
   test("simhash clusters: matches brute-force connected components, one row per doc") {
     import spark.implicits._
     // planted structure: a 3-doc clone group (identical h), a CHAIN of
