@@ -134,6 +134,27 @@ class StreamingAnnSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("int8-quantized storage preserves ANN recall (store int8, search dequantized)") {
+    import spark.implicits._
+    import graft.similarity.Quantize
+    // the 100 TB loop: embeddings stored as int8 codes + scale, search
+    // runs over the dequantized vectors — neighbor sets must survive
+    // the 4x storage cut
+    val vecs = clusteredVecs(nClusters = 30, perCluster = 20).toDS().cache()
+    val k = 5
+    val exact = Ann.bruteTopK(vecs, _ < 100, k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val dequantized = Quantize.int8(vecs)
+      .as[(Long, Double, Array[Int])]
+      .map { case (id, scale, codes) => (id, Quantize.dequantize(scale, codes)) }
+    val viaInt8 = Ann.bruteTopK(dequantized, _ < 100, k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val overlap = (exact & viaInt8).size.toDouble / exact.size
+    info(f"int8-dequantized top-$k overlap = $overlap%.3f")
+    assert(overlap >= 0.9, f"quantization degraded neighbor recall to $overlap%.3f")
+    vecs.unpersist()
+  }
+
   test("embedding-cosine near-dup: LSH recall >=0.9 vs exact on clustered vecs") {
     import spark.implicits._
     val vecs = clusteredVecs(nClusters = 20, perCluster = 15).toDS().cache()
