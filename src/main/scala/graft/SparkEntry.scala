@@ -602,6 +602,33 @@ object SparkEntry {
       materialized(s, d, "graft_q52_topk", topk)
     }),
 
+    // PII redaction (the C4/Dolma-style curation scrub): emails → IPs →
+    // phone-shaped runs masked in a fixed order with per-kind counts.
+    // Deterministic PII is PLANTED per doc_id (identical concat on both
+    // sides) so the value-level oracle has real work to check — counts
+    // and an md5 of the redacted text both compare
+    "q74_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com at 192.168."),
+            (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"),
+            lit(" or +1 (555) 010-"),
+            (col("doc_id") % 10000).cast("string"),
+            lit(".")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val r = graft.text.Redact.redact(text)
+          (id, r.n_emails, r.n_ips, r.n_phones, r.clean)
+        }
+        .toDF("doc_id", "n_emails", "n_ips", "n_phones", "clean")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_phones"), md5(col("clean")).as("clean_md5"))
+    }),
+
     // int8 embedding quantization (the 100 TB storage path: 4x smaller
     // embedding column) — double arithmetic end-to-end, so the codes
     // are bit-deterministic and fully value-level oracled (the codes
@@ -1344,6 +1371,35 @@ object SparkEntry {
         | round(sqrt(list_sum(list_transform(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
         |FROM embeddings""".stripMargin,
+    // PII-redaction mirror: the IDENTICAL RE2-compatible patterns run
+    // in DuckDB in the same order, counting on the text as it existed
+    // when each pattern ran (Redact.scala documents the contract)
+    "q74_pii_redact" -> {
+      val e = graft.text.Redact.EmailRe
+      val ip = graft.text.Redact.Ipv4Re
+      val ph = graft.text.Redact.PhoneRe
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com at 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |      || ' or +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR)
+         |      || '.' AS t
+         |  FROM documents),
+         |r1 AS (SELECT doc_id,
+         |  len(regexp_extract_all(t, '$e')) AS n_emails,
+         |  regexp_replace(t, '$e', '<EMAIL>', 'g') AS t1 FROM t0),
+         |r2 AS (SELECT doc_id, n_emails,
+         |  len(regexp_extract_all(t1, '$ip')) AS n_ips,
+         |  regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, n_emails, n_ips,
+         |  len(regexp_extract_all(t2, '$ph')) AS n_phones,
+         |  regexp_replace(t2, '$ph', '<PHONE>', 'g') AS t3 FROM r2)
+         |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+         |  CAST(n_ips AS INT) AS n_ips, CAST(n_phones AS INT) AS n_phones,
+         |  md5(t3) AS clean_md5
+         |FROM r3""".stripMargin
+    },
     // exact value-level mirror of the int8 quantizer: identical double
     // arithmetic (float widens exactly; max is order-independent;
     // floor-half-up matches), codes digested identically

@@ -509,6 +509,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(auto == expected)
   }
 
+  test("PII redaction: typed masks, ordered application, counts per kind") {
+    import graft.text.Redact
+    val r = Redact.redact(
+      "mail a.b+c@ex-ample.org or root@10.0.0.1 host 192.168.1.77, " +
+        "call +1 (555) 010-1234 now")
+    // root@10.0.0.1 is NOT email-shaped (the TLD must be letters), so
+    // its IP half is caught by the IP pass — the local part survives
+    assert(r.n_emails == 1 && r.n_ips == 2 && r.n_phones == 1, r.toString)
+    assert(r.clean ==
+      "mail <EMAIL> or root@<IP> host <IP>, call <PHONE> now", r.clean)
+    // no PII → untouched
+    val clean = Redact.redact("plain prose with the number 42 only")
+    assert(clean == Redact.Redacted("plain prose with the number 42 only", 0, 0, 0))
+    // a long digit run is phone-shaped by design (conservative scrub)
+    assert(Redact.redact("id 123456789012 end").n_phones == 1)
+  }
+
   test("int8 quantization: bounded error, faithful roundtrip, zero-vector safe") {
     import spark.implicits._
     import graft.similarity.Quantize
