@@ -602,6 +602,20 @@ object SparkEntry {
       materialized(s, d, "graft_q52_topk", topk)
     }),
 
+    // Gopher/Dolma repetition quality signals — the classic boilerplate/
+    // keyword-stuffing filters; map-only, value-level oracled
+    "q75_repetition" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(t(d, "documents"))
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val sg = graft.text.Repetition.signals(text)
+          (id, sg.n_words, sg.top_word_frac, sg.top_bigram_frac, sg.dup_line_frac)
+        }
+        .toDF("doc_id", "n_words", "top_word_frac", "top_bigram_frac",
+          "dup_line_frac")
+    }),
+
     // PII redaction (the C4/Dolma-style curation scrub): emails → IPs →
     // phone-shaped runs masked in a fixed order with per-kind counts.
     // Deterministic PII is PLANTED per doc_id (identical concat on both
@@ -1371,6 +1385,32 @@ object SparkEntry {
         | round(sqrt(list_sum(list_transform(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
         |FROM embeddings""".stripMargin,
+    // repetition-signal mirror: same tokenization as the q49 shingle
+    // oracle, top-frequency via unnest+group, the explicit
+    // floor(x*1e4+0.5)/1e4 rounding form on both sides
+    "q75_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |uw AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |wf AS (SELECT doc_id, max(c) AS maxw, sum(c) AS nw FROM (
+        |  SELECT doc_id, word, count(*) AS c FROM uw GROUP BY 1, 2) GROUP BY 1),
+        |ug AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |  i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+        |gf AS (SELECT doc_id, max(c) AS maxg, sum(c) AS ng FROM (
+        |  SELECT doc_id, gram, count(*) AS c FROM ug GROUP BY 1, 2) GROUP BY 1)
+        |SELECT w.doc_id,
+        |  CAST(len(w.ws) AS INT) AS n_words,
+        |  floor(coalesce(CAST(wf.maxw AS DOUBLE) / wf.nw, 0) * 10000 + 0.5) / 10000
+        |    AS top_word_frac,
+        |  floor(coalesce(CAST(gf.maxg AS DOUBLE) / gf.ng, 0) * 10000 + 0.5) / 10000
+        |    AS top_bigram_frac,
+        |  floor((1 - CAST(len(list_distinct(w.ls)) AS DOUBLE) / len(w.ls))
+        |    * 10000 + 0.5) / 10000 AS dup_line_frac
+        |FROM w
+        |LEFT JOIN wf ON w.doc_id = wf.doc_id
+        |LEFT JOIN gf ON gf.doc_id = w.doc_id""".stripMargin,
     // PII-redaction mirror: the IDENTICAL RE2-compatible patterns run
     // in DuckDB in the same order, counting on the text as it existed
     // when each pattern ran (Redact.scala documents the contract)

@@ -1,0 +1,47 @@
+package graft.text
+
+import graft.util.PyStr
+
+/** Gopher/Dolma-style repetition quality signals: highly repetitive
+  * documents (boilerplate, keyword stuffing, scraped listings) are the
+  * classic pre-training noise these rules remove. Deterministic,
+  * map-only, and fully SQL-mirrorable (q75 value-level oracle):
+  *
+  *  - top_word_frac: occurrences of the most frequent word / total words
+  *  - top_bigram_frac: same over word 2-grams
+  *  - dup_line_frac: 1 − distinct lines / total lines
+  *
+  * Tokenization matches the rest of the text stack (Python-style
+  * whitespace split of the lowercased text). Fractions are rounded
+  * half-up at 4 decimals with the explicit floor(x·1e4+0.5)/1e4 form
+  * so the SQL mirror is bit-identical.
+  */
+object Repetition {
+
+  final case class Signals(
+      n_words: Int,
+      top_word_frac: Double,
+      top_bigram_frac: Double,
+      dup_line_frac: Double)
+
+  private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  private def topFrac(items: Iterator[String]): Double = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    var total = 0
+    items.foreach { it => counts.update(it, counts.getOrElse(it, 0) + 1); total += 1 }
+    if (total == 0) 0.0 else counts.valuesIterator.max.toDouble / total
+  }
+
+  def signals(text: String): Signals = {
+    val ws = PyStr.split(PyStr.lower(text))
+    val bigrams =
+      if (ws.length < 2) Iterator.empty
+      else ws.sliding(2).map(p => p(0) + " " + p(1))
+    val lines = text.split("\n", -1)
+    val dupLine =
+      if (lines.isEmpty) 0.0
+      else 1.0 - lines.distinct.length.toDouble / lines.length
+    Signals(ws.length, r4(topFrac(ws.iterator)), r4(topFrac(bigrams)), r4(dupLine))
+  }
+}

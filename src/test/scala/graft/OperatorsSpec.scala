@@ -509,6 +509,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(auto == expected)
   }
 
+  test("repetition signals: top-fraction and duplicate-line arithmetic") {
+    import graft.text.Repetition
+    val s1 = Repetition.signals("spam spam spam ham")
+    assert(s1.n_words == 4 && s1.top_word_frac == 0.75)
+    // bigrams: "spam spam" x2, "spam ham" x1 -> 2/3
+    assert(s1.top_bigram_frac == math.floor(2.0 / 3 * 1e4 + 0.5) / 1e4)
+    val s2 = Repetition.signals("a\nb\na\na")
+    assert(s2.dup_line_frac == 0.5) // 4 lines, 2 distinct
+    // degenerate inputs
+    assert(Repetition.signals("") == Repetition.Signals(0, 0.0, 0.0, 0.0))
+    assert(Repetition.signals("word").top_bigram_frac == 0.0)
+  }
+
   test("PII redaction: typed masks, ordered application, counts per kind") {
     import graft.text.Redact
     val r = Redact.redact(
