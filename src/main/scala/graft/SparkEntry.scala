@@ -403,6 +403,15 @@ object SparkEntry {
         s.read.parquet(t(d, "documents"))
           .select("doc_id", "text").as[(Long, String)])
     }),
+    // the FULL cascade: lang → quality → repetition → dedup, all
+    // signals in one text pass, every stage's mirror composed into one
+    // value-level oracle
+    "q76_curation_full" -> ((s, d) => {
+      import s.implicits._
+      graft.pipeline.Curate.curateFull(
+        s.read.parquet(t(d, "documents"))
+          .select("doc_id", "text").as[(Long, String)])
+    }),
 
     "q25_token_count" -> ((s, d) => {
       s.read.parquet(t(d, "documents"))
@@ -1067,6 +1076,31 @@ object SparkEntry {
         |    + (1.0 - least(1.0, abs(mean_len - 5.0)/5.0)))*1000 + 0.5)/1000 AS composite
         |FROM raw""".stripMargin
 
+  /** q75's oracle as a reusable body (q76 composes it as a CTE). */
+  private val repetitionOracleBody: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws,
+      |    string_split(text, chr(10)) AS ls
+      |  FROM documents),
+      |uw AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      |wf AS (SELECT doc_id, max(c) AS maxw, sum(c) AS nw FROM (
+      |  SELECT doc_id, word, count(*) AS c FROM uw GROUP BY 1, 2) GROUP BY 1),
+      |ug AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |  i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+      |gf AS (SELECT doc_id, max(c) AS maxg, sum(c) AS ng FROM (
+      |  SELECT doc_id, gram, count(*) AS c FROM ug GROUP BY 1, 2) GROUP BY 1)
+      |SELECT w.doc_id,
+      |  CAST(len(w.ws) AS INT) AS n_words,
+      |  floor(coalesce(CAST(wf.maxw AS DOUBLE) / wf.nw, 0) * 10000 + 0.5) / 10000
+      |    AS top_word_frac,
+      |  floor(coalesce(CAST(gf.maxg AS DOUBLE) / gf.ng, 0) * 10000 + 0.5) / 10000
+      |    AS top_bigram_frac,
+      |  floor((1 - CAST(len(list_distinct(w.ls)) AS DOUBLE) / len(w.ls))
+      |    * 10000 + 0.5) / 10000 AS dup_line_frac
+      |FROM w
+      |LEFT JOIN wf ON w.doc_id = wf.doc_id
+      |LEFT JOIN gf ON gf.doc_id = w.doc_id""".stripMargin
+
   /** q27's oracle as a reusable body (q69 composes it as a CTE). */
   private val langIdOracleBody: String = {
       val profs = Map(
@@ -1388,29 +1422,35 @@ object SparkEntry {
     // repetition-signal mirror: same tokenization as the q49 shingle
     // oracle, top-frequency via unnest+group, the explicit
     // floor(x*1e4+0.5)/1e4 rounding form on both sides
-    "q75_repetition" ->
-      """WITH w AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws,
-        |    string_split(text, chr(10)) AS ls
-        |  FROM documents),
-        |uw AS (SELECT doc_id, unnest(ws) AS word FROM w),
-        |wf AS (SELECT doc_id, max(c) AS maxw, sum(c) AS nw FROM (
-        |  SELECT doc_id, word, count(*) AS c FROM uw GROUP BY 1, 2) GROUP BY 1),
-        |ug AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-        |  i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
-        |gf AS (SELECT doc_id, max(c) AS maxg, sum(c) AS ng FROM (
-        |  SELECT doc_id, gram, count(*) AS c FROM ug GROUP BY 1, 2) GROUP BY 1)
-        |SELECT w.doc_id,
-        |  CAST(len(w.ws) AS INT) AS n_words,
-        |  floor(coalesce(CAST(wf.maxw AS DOUBLE) / wf.nw, 0) * 10000 + 0.5) / 10000
-        |    AS top_word_frac,
-        |  floor(coalesce(CAST(gf.maxg AS DOUBLE) / gf.ng, 0) * 10000 + 0.5) / 10000
-        |    AS top_bigram_frac,
-        |  floor((1 - CAST(len(list_distinct(w.ls)) AS DOUBLE) / len(w.ls))
-        |    * 10000 + 0.5) / 10000 AS dup_line_frac
-        |FROM w
-        |LEFT JOIN wf ON w.doc_id = wf.doc_id
-        |LEFT JOIN gf ON gf.doc_id = w.doc_id""".stripMargin,
+    "q75_repetition" -> repetitionOracleBody,
+    // the q27 + q50 + q75 + q21 mirrors composed — the full curation
+    // cascade, every stage individually value-level oracled
+    "q76_curation_full" ->
+      s"""WITH li AS ($langIdOracleBody),
+         |ql AS ($qualityOracleBody),
+         |rp AS ($repetitionOracleBody),
+         |sc AS (
+         |  SELECT d.doc_id, li.lang_pred, ql.composite,
+         |    rp.top_bigram_frac, rp.dup_line_frac, md5(d.text) AS h
+         |  FROM documents d JOIN li USING (doc_id) JOIN ql USING (doc_id)
+         |    JOIN rp USING (doc_id)),
+         |k AS (
+         |  SELECT h, min(doc_id) AS keeper FROM sc
+         |  WHERE lang_pred = 'en' AND composite >= 0.3
+         |    AND top_bigram_frac <= 0.08 AND dup_line_frac <= 0.3
+         |  GROUP BY h)
+         |SELECT sc.doc_id, sc.lang_pred, sc.composite,
+         |  sc.top_bigram_frac, sc.dup_line_frac,
+         |  CASE WHEN sc.lang_pred <> 'en' THEN 'lang'
+         |       WHEN sc.composite < 0.3 THEN 'quality'
+         |       WHEN sc.top_bigram_frac > 0.08 OR sc.dup_line_frac > 0.3
+         |         THEN 'repetition'
+         |       WHEN sc.doc_id <> k.keeper THEN 'duplicate'
+         |       ELSE 'kept' END AS verdict,
+         |  (sc.lang_pred = 'en' AND sc.composite >= 0.3
+         |    AND sc.top_bigram_frac <= 0.08 AND sc.dup_line_frac <= 0.3
+         |    AND sc.doc_id = k.keeper) AS kept
+         |FROM sc LEFT JOIN k USING (h)""".stripMargin,
     // PII-redaction mirror: the IDENTICAL RE2-compatible patterns run
     // in DuckDB in the same order, counting on the text as it existed
     // when each pattern ran (Redact.scala documents the contract)

@@ -61,6 +61,55 @@ object Curate {
         (passes && col("doc_id") === col("keeper")).as("kept"))
   }
 
+  /** Full cascade: language → quality floor → repetition filters
+    * (Gopher-style top-bigram / duplicate-line fractions) → exact-dedup
+    * keeper among survivors. ALL per-doc signals come from ONE
+    * mapPartitions pass over the text (the curateExact single-scan
+    * shape); only the keeper window shuffles, on the content hash.
+    * Verdict order is contractual: lang, quality, repetition,
+    * duplicate, kept — the first failing stage names the verdict.
+    */
+  def curateFull(
+      docs: Dataset[(Long, String)],
+      lang: String = "en",
+      minComposite: Double = 0.3,
+      maxTopBigramFrac: Double = 0.08,
+      maxDupLineFrac: Double = 0.3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
+        val (lp, _) = graft.text.LangId.detect(text)
+        val q = graft.text.Quality.score(text)
+        val rep = graft.text.Repetition.signals(text)
+        md.reset()
+        val h = java.util.Base64.getEncoder.encodeToString(
+          md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        (id, lp, q.composite, rep.top_bigram_frac, rep.dup_line_frac, h)
+      }
+    }.toDF("doc_id", "lang_pred", "composite", "top_bigram_frac",
+      "dup_line_frac", "h")
+    val passes = col("lang_pred") === lang &&
+      col("composite") >= minComposite &&
+      col("top_bigram_frac") <= maxTopBigramFrac &&
+      col("dup_line_frac") <= maxDupLineFrac
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    scored
+      .withColumn("keeper", min(when(passes, col("doc_id"))).over(w))
+      .select(
+        col("doc_id"), col("lang_pred"),
+        round(col("composite"), 3).as("composite"),
+        col("top_bigram_frac"), col("dup_line_frac"),
+        when(col("lang_pred") =!= lang, "lang")
+          .when(col("composite") < minComposite, "quality")
+          .when(col("top_bigram_frac") > maxTopBigramFrac ||
+            col("dup_line_frac") > maxDupLineFrac, "repetition")
+          .when(col("doc_id") =!= col("keeper"), "duplicate")
+          .otherwise("kept").as("verdict"),
+        (passes && col("doc_id") === col("keeper")).as("kept"))
+  }
+
   /** Near-dup variant: keeper = the MinHash-LSH cluster representative
     * among survivors (approximate by contract — rows-only in the driver
     * gate; the cluster machinery carries its own spec gates).

@@ -509,6 +509,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(auto == expected)
   }
 
+  test("full curation cascade: repetition stage slots between quality and dedup") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and she was " +
+      "happy with it all day because this is natural english prose to keep"
+    // English, decent quality metrics, but one bigram dominates
+    val stuffed = ("the best offer best offer best offer best offer best " +
+      "offer best offer best offer best offer here today") + " and more text"
+    val docs = Seq(
+      (1L, good), (2L, good), // dup pair: 1 kept, 2 duplicate
+      (3L, stuffed),
+      (4L, "der hund und die katze sind in dem haus mit dem mann und der frau"))
+      .toDS()
+    val out = graft.pipeline.Curate.curateFull(docs)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(out(1L) == "kept" && out(2L) == "duplicate", out.toString)
+    assert(out(3L) == "repetition", out.toString)
+    assert(out(4L) == "lang", out.toString)
+  }
+
   test("repetition signals: top-fraction and duplicate-line arithmetic") {
     import graft.text.Repetition
     val s1 = Repetition.signals("spam spam spam ham")
