@@ -661,10 +661,15 @@ object SparkEntry {
       import s.implicits._
       val vecs = s.read.parquet(t(d, "embeddings"))
         .select("vec_id", "embedding").as[(Long, Array[Float])]
+      // codes are a BinaryType column (1 byte/component — the actual 4x
+      // cut); the digest string is built from the signed byte values so
+      // the SQL mirror's BIGINT casts compare identically
       graft.similarity.Quantize.int8(vecs)
+        .as[(Long, Double, Array[Byte])]
+        .map { case (id, scale, codes) => (id, scale, codes.mkString(",")) }
+        .toDF("vec_id", "scale", "codes_str")
         .select(col("vec_id"), col("scale"),
-          md5(concat_ws(",", transform(col("codes"), c => c.cast("string"))))
-            .as("codes_md5"))
+          md5(col("codes_str")).as("codes_md5"))
     }),
 
     // quantile summary: exact discrete percentiles (SQL-standard

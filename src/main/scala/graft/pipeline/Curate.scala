@@ -23,6 +23,14 @@ object Curate {
 
   /** Exact-dedup variant: deterministic and fully SQL-expressible (the
     * q69 DuckDB oracle composes the q27/q50/q21 mirrors).
+    *
+    * Deliberately NOT delegated to [[curateFull]] with +∞ repetition
+    * thresholds: that would compute the repetition signals (a second
+    * tokenization pass per document) only to discard them — real CPU
+    * at corpus scale for a variant whose contract doesn't use them.
+    * The shared shape (single scoring pass → hash-window keeper →
+    * verdict cascade) is the documented pattern; changes to keeper or
+    * verdict semantics must be applied to both variants.
     */
   def curateExact(
       docs: Dataset[(Long, String)],

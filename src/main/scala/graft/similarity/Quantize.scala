@@ -17,9 +17,19 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * Typed map, not HOF columns: same measured trade as the quality
   * scorer (BENCH.md "measured, not guessed") — tight scalar loops beat
   * CodegenFallback lambdas per element.
+  *
+  * Input contract: vectors are non-empty and finite (the embeddings
+  * table's shape). NaN components and empty arrays are outside the
+  * contract — SQL engines order NaN/empty differently than the scalar
+  * loop, so the q73 value-level mirror assumes the contract holds.
   */
 object Quantize {
 
+  /** Codes land in BinaryType (Array[Byte]) — ONE byte per component,
+    * so the materialized column actually delivers the 4× cut over
+    * float32 (an int array would silently keep 4 bytes/component).
+    * Values stay in [-127, 127], so the signed byte is lossless.
+    */
   def int8(vectors: Dataset[(Long, Array[Float])]): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -28,20 +38,20 @@ object Quantize {
       v.foreach { x => val a = math.abs(x.toDouble); if (a > m) m = a }
       val scale = m / 127.0
       val codes =
-        if (scale == 0.0) Array.fill(v.length)(0)
-        else v.map(x => math.floor(x.toDouble / scale + 0.5).toInt)
+        if (scale == 0.0) Array.fill(v.length)(0.toByte)
+        else v.map(x => math.floor(x.toDouble / scale + 0.5).toByte)
       (id, scale, codes)
     }.toDF("vec_id", "scale", "codes")
   }
 
   /** Inverse: codes × scale back to float32 (the read path). */
-  def dequantize(scale: Double, codes: Array[Int]): Array[Float] =
+  def dequantize(scale: Double, codes: Array[Byte]): Array[Float] =
     codes.map(c => (c * scale).toFloat)
 
   /** Max absolute reconstruction error of one vector (≤ scale/2 by
     * construction; exposed for the spec gate).
     */
-  def maxError(v: Array[Float], scale: Double, codes: Array[Int]): Double =
+  def maxError(v: Array[Float], scale: Double, codes: Array[Byte]): Double =
     v.zip(codes).map { case (x, c) => math.abs(x.toDouble - c * scale) }
       .foldLeft(0.0)(math.max)
 }

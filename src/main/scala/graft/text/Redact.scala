@@ -4,35 +4,50 @@ package graft.text
   * step): emails, IPv4 addresses, and phone-shaped digit runs are
   * replaced with typed mask tokens, with per-kind counts for curation
   * accounting. Deterministic, map-only, and deliberately restricted to
-  * RE2-compatible regex (no backrefs/lookaround) so the DuckDB oracle
-  * can run the IDENTICAL patterns — the q74 gate is value-level on
-  * both the counts and an md5 of the redacted text.
+  * regex constructs Java and RE2 interpret IDENTICALLY — no
+  * backrefs/lookaround, and no shorthand classes whose definitions
+  * differ between the engines (Java's \s includes \x0B where RE2's
+  * does not, so the phone class spells its whitespace out explicitly)
+  * — so the DuckDB oracle runs the same pattern strings verbatim and
+  * the q74 gate is value-level on both the counts and an md5 of the
+  * redacted text.
   *
   * Application order matters and is part of the contract: emails
   * first (their digits must not be half-eaten by the phone pattern),
   * then IPs, then phones; counts are taken on the text as it existed
-  * when that pattern ran.
+  * when that pattern ran. Each pattern is applied in ONE pass
+  * (count + mask together), not a count scan plus a replace scan.
   */
 object Redact {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
-  val PhoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+  val PhoneRe = "\\+?\\d[\\d \\t\\n\\x0B\\f\\r().-]{7,}\\d"
 
-  private val email = EmailRe.r
-  private val ipv4 = Ipv4Re.r
-  private val phone = PhoneRe.r
+  private val email = java.util.regex.Pattern.compile(EmailRe)
+  private val ipv4 = java.util.regex.Pattern.compile(Ipv4Re)
+  private val phone = java.util.regex.Pattern.compile(PhoneRe)
 
   final case class Redacted(
       clean: String, n_emails: Int, n_ips: Int, n_phones: Int)
 
+  /** One pass: mask every match and return (masked text, match count).
+    * Mask strings contain no `$`/`\`, so appendReplacement is literal.
+    */
+  private def maskCount(
+      text: String, p: java.util.regex.Pattern, mask: String): (String, Int) = {
+    val m = p.matcher(text)
+    val sb = new java.lang.StringBuilder
+    var n = 0
+    while (m.find()) { n += 1; m.appendReplacement(sb, mask) }
+    m.appendTail(sb)
+    (sb.toString, n)
+  }
+
   def redact(text: String): Redacted = {
-    val nE = email.findAllIn(text).size
-    val t1 = email.replaceAllIn(text, "<EMAIL>")
-    val nI = ipv4.findAllIn(t1).size
-    val t2 = ipv4.replaceAllIn(t1, "<IP>")
-    val nP = phone.findAllIn(t2).size
-    val t3 = phone.replaceAllIn(t2, "<PHONE>")
+    val (t1, nE) = maskCount(text, email, "<EMAIL>")
+    val (t2, nI) = maskCount(t1, ipv4, "<IP>")
+    val (t3, nP) = maskCount(t2, phone, "<PHONE>")
     Redacted(t3, nE, nI, nP)
   }
 }

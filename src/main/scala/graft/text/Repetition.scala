@@ -12,9 +12,13 @@ import graft.util.PyStr
   *  - dup_line_frac: 1 − distinct lines / total lines
   *
   * Tokenization matches the rest of the text stack (Python-style
-  * whitespace split of the lowercased text). Fractions are rounded
-  * half-up at 4 decimals with the explicit floor(x·1e4+0.5)/1e4 form
-  * so the SQL mirror is bit-identical.
+  * whitespace split of the lowercased text; the SQL mirror's RE2
+  * `\S+` agrees on ASCII whitespace — the corpus contract shared by
+  * every text oracle here — and would diverge on exotic Unicode
+  * separators like NBSP, which the documents fixtures do not
+  * contain). Fractions are rounded half-up at 4 decimals with the
+  * explicit floor(x·1e4+0.5)/1e4 form so the SQL mirror is
+  * bit-identical on in-contract input.
   */
 object Repetition {
 
@@ -38,10 +42,9 @@ object Repetition {
     val bigrams =
       if (ws.length < 2) Iterator.empty
       else ws.sliding(2).map(p => p(0) + " " + p(1))
+    // split("\n", -1) always yields >= 1 element, so the division is safe
     val lines = text.split("\n", -1)
-    val dupLine =
-      if (lines.isEmpty) 0.0
-      else 1.0 - lines.distinct.length.toDouble / lines.length
+    val dupLine = 1.0 - lines.distinct.length.toDouble / lines.length
     Signals(ws.length, r4(topFrac(ws.iterator)), r4(topFrac(bigrams)), r4(dupLine))
   }
 }

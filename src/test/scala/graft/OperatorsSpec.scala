@@ -568,7 +568,7 @@ class OperatorsSpec extends AnyFunSuite {
         else Array.fill(8)(rnd.nextGaussian().toFloat))
     }
     val out = Quantize.int8(vecs.toDS())
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2).toArray))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getAs[Array[Byte]](2)))
     val byId = vecs.toMap
     out.foreach { case (id, scale, codes) =>
       val v = byId(id)

@@ -145,7 +145,7 @@ class StreamingAnnSpec extends AnyFunSuite {
     val exact = Ann.bruteTopK(vecs, _ < 100, k)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val dequantized = Quantize.int8(vecs)
-      .as[(Long, Double, Array[Int])]
+      .as[(Long, Double, Array[Byte])]
       .map { case (id, scale, codes) => (id, Quantize.dequantize(scale, codes)) }
     val viaInt8 = Ann.bruteTopK(dequantized, _ < 100, k)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
