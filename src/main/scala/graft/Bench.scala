@@ -62,6 +62,11 @@ object Bench {
               .linesIterator.take(1).mkString.take(200)
             if (!best.contains(name)) best(name) = -1.0
         }
+        // the harness owns post-consumption cache lifetime (operators
+        // with lazy results — q49/q65/q76 — cache intermediates into a
+        // default scope they cannot close themselves); untimed, and no
+        // cross-query cached state exists by design
+        spark.catalog.clearCache()
       }
     }
 

@@ -126,24 +126,20 @@ object MinHashLsh {
     *                   band — overwhelmingly boilerplate; capped buckets
     *                   are counted in the other 15 bands anyway).
     */
-  // the previous invocation's cached intermediates — unpersisted lazily
-  // on the NEXT call, so repeated bench/pipeline invocations hold at most
-  // one call's caches instead of leaking one pair per call for the
-  // session lifetime (consumers finish their actions before calling again)
-  private var lastCached: Seq[DataFrame] = Nil
-
   /** Shared front half of near-dup detection: exact-clone collapse,
     * LSH banding over representatives, signature prescreen, exact
     * verification. Returns (groups = (id, rep) clone membership,
     * repPairs = verified near-dup pairs BETWEEN representatives).
-    * `groups`/`sigs` are cached for the duration of this call's consumer
-    * and released when the operator is next invoked.
+    * `groups`/`sigs` are cached into the caller-owned `scope` — no
+    * JVM-global cache registry, so concurrent calls never touch each
+    * other's intermediates.
     */
   private def cloneGroupsAndRepPairs(
       docs: Dataset[(Long, String)],
       threshold: Double,
       sigMargin: Double,
-      bandBucketCap: Int): (DataFrame, DataFrame) = {
+      bandBucketCap: Int,
+      scope: graft.util.CacheScope): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -160,26 +156,15 @@ object MinHashLsh {
       }
     }.toDF("id", "h", "rep_text")
     val reps = hashed.groupBy("h").agg(min("id").as("rep"))
-    val groups = hashed.join(reps, "h").select(col("id"), col("rep")).cache()
+    val groups = scope.own(
+      hashed.join(reps, "h").select(col("id"), col("rep")))
     val repDocs = hashed.join(reps, hashed("id") === reps("rep"))
       .select(col("id"), col("rep_text").as("text"))
       .as[(Long, String)]
 
     // 2. LSH candidates over representatives, signatures computed ONCE
-    val sigs = repDocs.map { case (id, text) => (id, signature(text)) }
-      .toDF("id", "sig").cache()
-    // single atomic swap: the previous call's caches are registered out
-    // and this call's registered in under ONE lock, so there is no window
-    // where caches are unpersisted but untracked. A CONCURRENT call on
-    // this object can still unpersist caches mid-consumption — results
-    // stay correct (Spark recomputes), the signature pass just runs
-    // twice; serialize calls per JVM if that matters (see scaladoc).
-    val prev = synchronized {
-      val p = lastCached
-      lastCached = Seq(groups, sigs)
-      p
-    }
-    prev.foreach(_.unpersist(false))
+    val sigs = scope.own(
+      repDocs.map { case (id, text) => (id, signature(text)) }.toDF("id", "sig"))
     val b = sigs.as[(Long, Array[Long])]
       .flatMap { case (id, sig) => bandRowsFromSignature(id, sig) }
       .toDF("id", "band", "band_hash")
@@ -268,21 +253,25 @@ object MinHashLsh {
     * block. One cheap max-group-size job on the cached membership makes
     * the decision.
     *
-    * Concurrency: calls on this object share one cache slot — invoke
-    * sequentially per JVM; overlapping calls stay correct but silently
-    * recompute the signature pass (see the swap note in
-    * `cloneGroupsAndRepPairs`).
+    * Cache lifetime: intermediates (`groups`, `sigs`) are cached into
+    * `scope`. Pass your own [[graft.util.CacheScope]] and close it after
+    * the action that consumes the returned Dataset; with the default
+    * (a fresh, never-closed scope) the caches live until the harness's
+    * between-query `spark.catalog.clearCache()` or session end. Calls
+    * are concurrency-safe either way — no shared mutable state.
     */
   def nearDuplicatePairs(
       docs: Dataset[(Long, String)],
       threshold: Double = 0.8,
       sigMargin: Double = 0.19,
       bandBucketCap: Int = 100000,
-      cloneBlockSize: Int = 4096): Dataset[(Long, Long, Double)] = {
+      cloneBlockSize: Int = 4096,
+      scope: graft.util.CacheScope = new graft.util.CacheScope)
+      : Dataset[(Long, Long, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (groups, repPairs) =
-      cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap)
+      cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap, scope)
 
     val maxGroup = groups.groupBy("rep").agg(count(lit(1)).as("n"))
       .agg(max("n")).as[Option[Long]].head().getOrElse(0L)
@@ -383,11 +372,13 @@ object MinHashLsh {
       docs: Dataset[(Long, String)],
       threshold: Double = 0.8,
       sigMargin: Double = 0.19,
-      bandBucketCap: Int = 100000): Dataset[(Long, Long)] = {
+      bandBucketCap: Int = 100000,
+      scope: graft.util.CacheScope = new graft.util.CacheScope)
+      : Dataset[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (groups, repPairs) =
-      cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap)
+      cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap, scope)
 
     // CC over the rep-pair graph (tiny next to the corpus: only verified
     // near-dup representatives appear). Canonicalize.connectedComponents

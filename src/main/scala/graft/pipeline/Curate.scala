@@ -118,6 +118,70 @@ object Curate {
         (passes && col("doc_id") === col("keeper")).as("kept"))
   }
 
+  /** Full cascade + benchmark decontamination: language → quality →
+    * repetition → CONTAMINATION (13-gram overlap vs a held-out eval
+    * set, the C4/GPT-3 protocol — [[graft.dedup.Decontaminate]]) →
+    * exact-dedup keeper among clean survivors. The benchmark arrives as
+    * a pre-built broadcastable sorted gram-hash array
+    * ([[graft.dedup.Decontaminate.benchmarkGramArray]]), so the
+    * contamination signal joins the SAME single mapPartitions text pass
+    * as every other signal — the cascade stays one corpus scan plus the
+    * keeper shuffle. Verdict order is contractual: lang, quality,
+    * repetition, contaminated, duplicate, kept.
+    */
+  def curateDecontaminated(
+      docs: Dataset[(Long, String)],
+      benchGrams: Array[Long],
+      lang: String = "en",
+      minComposite: Double = 0.3,
+      maxTopBigramFrac: Double = 0.08,
+      maxDupLineFrac: Double = 0.3,
+      n: Int = 13): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchGrams)
+    val scored = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val grams = bc.value
+      it.map { case (id, text) =>
+        val (lp, _) = graft.text.LangId.detect(text)
+        val q = graft.text.Quality.score(text)
+        val rep = graft.text.Repetition.signals(text)
+        val seen = new java.util.HashSet[java.lang.Long]()
+        var hits = 0
+        graft.dedup.Decontaminate.gramHashes(text, n).foreach { g =>
+          if (java.util.Arrays.binarySearch(grams, g) >= 0 && seen.add(g))
+            hits += 1
+        }
+        md.reset()
+        val h = java.util.Base64.getEncoder.encodeToString(
+          md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        (id, lp, q.composite, rep.top_bigram_frac, rep.dup_line_frac, hits, h)
+      }
+    }.toDF("doc_id", "lang_pred", "composite", "top_bigram_frac",
+      "dup_line_frac", "n_hits", "h")
+    val passes = col("lang_pred") === lang &&
+      col("composite") >= minComposite &&
+      col("top_bigram_frac") <= maxTopBigramFrac &&
+      col("dup_line_frac") <= maxDupLineFrac &&
+      col("n_hits") === 0
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    scored
+      .withColumn("keeper", min(when(passes, col("doc_id"))).over(w))
+      .select(
+        col("doc_id"), col("lang_pred"),
+        round(col("composite"), 3).as("composite"),
+        col("top_bigram_frac"), col("dup_line_frac"), col("n_hits"),
+        when(col("lang_pred") =!= lang, "lang")
+          .when(col("composite") < minComposite, "quality")
+          .when(col("top_bigram_frac") > maxTopBigramFrac ||
+            col("dup_line_frac") > maxDupLineFrac, "repetition")
+          .when(col("n_hits") > 0, "contaminated")
+          .when(col("doc_id") =!= col("keeper"), "duplicate")
+          .otherwise("kept").as("verdict"),
+        (passes && col("doc_id") === col("keeper")).as("kept"))
+  }
+
   /** Near-dup variant: keeper = the MinHash-LSH cluster representative
     * among survivors (approximate by contract — rows-only in the driver
     * gate; the cluster machinery carries its own spec gates).
@@ -126,7 +190,8 @@ object Curate {
       docs: Dataset[(Long, String)],
       lang: String = "en",
       minComposite: Double = 0.3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // `scored` is consumed twice (survivors → LSH, and the verdict join)
@@ -141,7 +206,7 @@ object Curate {
       .filter(col("lang_pred") === lang && col("composite") >= minComposite)
       .select("doc_id", "text").as[(Long, String)]
     val clusters = graft.dedup.MinHashLsh
-      .nearDuplicateClusters(survivors, threshold)
+      .nearDuplicateClusters(survivors, threshold, scope = scope)
       .toDF("doc_id", "cluster")
     scored.drop("text")
       .join(clusters, Seq("doc_id"), "left")

@@ -21,8 +21,25 @@ package graft.text
 object Redact {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
-  val PhoneRe = "\\+?\\d[\\d \\t\\n\\x0B\\f\\r().-]{7,}\\d"
+
+  /** Octets are range-checked (0-255) so version-like strings embedded
+    * in prose ("10.2.300.4") and junk like "999.999.999.999" are NOT
+    * masked; the alternation is ordered longest-first so RE2's and
+    * Java's leftmost-first matching agree, and \b on both ends stops
+    * partial masks inside longer digit runs.
+    */
+  val Ipv4Re =
+    "\\b((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}" +
+      "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\b"
+
+  /** The run is bounded ({7,20}, so 9-22 chars total) and the inner
+    * class contains NO line terminators (\n, \f, \r) — a digit table
+    * or version list spanning multiple lines can no longer collapse
+    * into one <PHONE> mask. \x0B stays because it is the one
+    * horizontal-ish whitespace Java's \s has and RE2's does not, and
+    * spelling the class out keeps the two engines identical.
+    */
+  val PhoneRe = "\\+?\\d[\\d \\t\\x0B().-]{7,20}\\d"
 
   private val email = java.util.regex.Pattern.compile(EmailRe)
   private val ipv4 = java.util.regex.Pattern.compile(Ipv4Re)

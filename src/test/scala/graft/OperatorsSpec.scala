@@ -408,6 +408,95 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 }, s"false pairs: $pairs")
   }
 
+  test("decontamination flags planted 13-gram overlap, both paths agree") {
+    import spark.implicits._
+    import graft.dedup.Decontaminate
+    val secret = (1 to 15).map(i => s"evaltok$i").mkString(" ") // 15 tokens
+    val docs = Seq(
+      (0L, s"clean preamble then $secret and a clean tail of words"),
+      (1L, "a completely clean document with plenty of ordinary tokens " +
+        "that never quote any benchmark material at all in any window"),
+      (2L, secret), // the eval item verbatim
+      (3L, (1 to 12).map(i => s"evaltok$i").mkString(" ")), // only 12 tokens — no 13-gram
+      (4L, "short doc")).toDS()
+    val bench = Seq(secret, "another benchmark question with its own answer text " +
+      "padded out to well over thirteen whitespace tokens total here").toDS()
+    val broad = Decontaminate.overlapBroadcast(
+      docs, Decontaminate.benchmarkGramArray(bench, 13), 13)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    val joined = Decontaminate.overlapJoin(docs, bench, 13)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(broad.toSeq == joined.toSeq, "broadcast and join paths disagree")
+    val byId = broad.map(r => r._1 -> r).toMap
+    // doc 0 embeds the 15-token eval item → 3 distinct 13-grams hit
+    assert(byId(0L) == ((0L, 3, true)), s"got ${byId(0L)}")
+    assert(!byId(1L)._3 && byId(1L)._2 == 0)
+    assert(byId(2L) == ((2L, 3, true)))
+    // a 12-token prefix cannot contain any 13-gram
+    assert(byId(3L) == ((3L, 0, false)))
+    assert(byId(4L) == ((4L, 0, false)))
+    // auto path picks broadcast here and matches
+    val auto = Decontaminate.ngramOverlap(docs, bench, 13)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(auto.toSeq == broad.toSeq)
+  }
+
+  test("curateDecontaminated cascade names 'contaminated' in verdict order") {
+    import spark.implicits._
+    val secret = (1 to 20).map(i => s"benchword$i").mkString(" ")
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks along the river bank for a while at dusk in the calm evening"
+    val docs = Seq(
+      (0L, good), // kept
+      (1L, good), // exact dup of 0 → duplicate
+      (2L, s"$good $secret"), // contaminated (passes lang/quality/rep)
+      (3L, "der die das und in den von zu mit sich des auf für ist im " +
+        "dem nicht ein eine als auch es an werden aus er hat dass sie")) // lang
+      .toDS()
+    val grams = graft.dedup.Decontaminate.benchmarkGramArray(
+      Seq(secret).toDS(), 13)
+    val out = graft.pipeline.Curate.curateDecontaminated(docs, grams)
+      .select("doc_id", "verdict", "kept")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == (("kept", true)))
+    assert(out(1L) == (("duplicate", false)))
+    assert(out(2L) == (("contaminated", false)), s"got ${out(2L)}")
+    assert(out(3L) == (("lang", false)))
+  }
+
+  test("concurrent near-dup calls cannot disturb each other; scopes release caches") {
+    import spark.implicits._
+    // two disjoint corpora with planted clone pairs, run CONCURRENTLY —
+    // with the old JVM-global cache slot, one call could unpersist the
+    // other's intermediates mid-flight; caller-owned CacheScope makes
+    // the calls fully independent
+    def corpus(off: Long) = ((0L to 30L).map(i =>
+      (off + i, s"doc ${off + i} unique filler content alpha beta gamma " +
+        s"delta${i * 3} epsilon${i * 7}")) ++
+      Seq((off + 100L, "planted duplicate text mirrored verbatim body"),
+        (off + 101L, "planted duplicate text mirrored verbatim body"))).toDS()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val scopeA = new graft.util.CacheScope
+    val scopeB = new graft.util.CacheScope
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(MinHashLsh.nearDuplicatePairs(
+      corpus(0L), threshold = 0.5, scope = scopeA).collect())
+    val fb = Future(MinHashLsh.nearDuplicatePairs(
+      corpus(1000L), threshold = 0.5, scope = scopeB).collect())
+    val (ra, rb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    assert(ra.map(p => (p._1, p._2)).toSet == Set((100L, 101L)))
+    assert(rb.map(p => (p._1, p._2)).toSet == Set((1100L, 1101L)))
+    // closing the scopes releases every cached intermediate this test
+    // added (tests run sequentially in the forked JVM, so the persistent
+    // RDD delta is attributable to these two calls)
+    scopeA.close(); scopeB.close()
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((cachedAfter -- cachedBefore).isEmpty,
+      "cached intermediates leaked past scope close")
+  }
+
   test("near-dup survives a 1k-clone boilerplate corpus (no text pair-shipping)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
