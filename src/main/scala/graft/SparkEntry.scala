@@ -96,6 +96,80 @@ object SparkEntry {
     }
   }
 
+  /** Exact top-k ground truth for the sampled queries (vec_id % 10 == 0)
+    * with the operator's own rounding (floor(x·1e5+0.5)/1e5) and
+    * tie-break (sim DESC, nid ASC). Bounded: |sample| × |corpus| dots,
+    * corpus side streamed, sample side broadcast — the 100 TB-correct
+    * direction for a ground-truth instrument.
+    */
+  private def exactTopkSample(
+      s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val e = s.read.parquet(t(d, "embeddings"))
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val q = e.filter(_._1 % 10 == 0)
+    val sims = e.toDF("nid", "nv")
+      .crossJoin(broadcast(q.toDF("qid", "qv")))
+      .filter(col("qid") =!= col("nid"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (nid, nv, qid, qv) =>
+        (qid, nid,
+          math.floor(graft.similarity.Ann.dot(qv, nv) * 1e5 + 0.5) / 1e5)
+      }
+      .toDF("qid", "nid", "sim")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("qid", "nid")
+  }
+
+  /** One-row recall summary: found vs truth on `on` columns. The gate is
+    * part of the CONTRACT — the oracle emits `recall_ok` as literal
+    * true, so a recall regression below `gate` hash-fails the driver
+    * compare (the q46 bound-as-contract pattern, hardened).
+    */
+  private def recallRow(
+      s: SparkSession, found: DataFrame, truth: DataFrame,
+      on: Seq[String], gate: Double): DataFrame = {
+    import s.implicits._
+    val nTrue = truth.count()
+    val nFound = found.count()
+    val nHit = found.join(truth, on).count()
+    val recall =
+      if (nTrue == 0) 1.0
+      else math.floor(nHit.toDouble / nTrue * 1e4 + 0.5) / 1e4
+    Seq((nTrue, nFound, nHit, recall, recall >= gate))
+      .toDF("n_true", "n_found", "n_hit", "recall", "recall_ok")
+  }
+
+  /** Oracle for a top-k recall summary: n_true re-derived from the exact
+    * O(|sample|·n) ground truth in SQL, n_found/n_hit from the found-set
+    * fixture, recall re-divided — and recall_ok as literal TRUE, making
+    * `recall ≥ gate` a hard driver gate.
+    */
+  private def topkRecallOracleSql(base: String): String =
+    s"""WITH f AS (
+       |  SELECT qid, nid
+       |  FROM read_parquet('${oracleFixtureDir(base)}/*.parquet')),
+       |ex AS (SELECT qid, nid FROM (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${dotMirror("a", "b")} DESC, b.vec_id) AS rk
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id)
+       |  WHERE rk <= 5),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM ex) AS n_true,
+       |  (SELECT count(*) FROM f) AS n_found,
+       |  (SELECT count(*) FROM f JOIN ex USING (qid, nid)) AS n_hit)
+       |SELECT CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_found AS BIGINT) AS n_found,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CASE WHEN n_true = 0 THEN 1.0
+       |    ELSE floor(CAST(n_hit AS DOUBLE) / n_true * 10000 + 0.5) / 10000
+       |    END AS recall,
+       |  TRUE AS recall_ok
+       |FROM m""".stripMargin
+
   /** Flagship: KG construction on the synthetic corpus. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -465,6 +539,113 @@ object SparkEntry {
         .select("doc_id", "text").as[(Long, String)]
       graft.pipeline.Curate.curateDecontaminated(docs,
         graft.dedup.Decontaminate.benchmarkGramArray(decontamBench(docs), 13))
+    }),
+
+    // ---------- driver-oracled RECALL for the approximate family ----------
+    // Every emitted row of q42/q49/q52/q61 is already value-level oracled;
+    // these close the last unoracled dimension — which neighbors/pairs got
+    // FOUND — by recomputing the exact ground truth on a bounded slice
+    // (sampled queries / a fixed id window: cost is sf-independent on the
+    // truth side) and hash-gating the recall fraction. The oracle emits
+    // recall_ok as literal TRUE, so recall below the gate is a hard
+    // driver FAIL, not just a visible false.
+    //
+    // Gates are calibrated to the operator's measured behavior on this
+    // corpus's near-random embeddings (LSH 0.912, IVF 0.836, near-dup
+    // 1.0, cosine-LSH 0.915 at sf0.01): LSH/pairs gate at 0.9; IVF at
+    // 0.8 — autoNprobe trades recall for constant per-query work, and the
+    // ≥0.9-on-clustered-data contract stays spec-gated (StreamingAnnSpec).
+    "q79_ann_lsh_recall" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val found = graft.similarity.Ann.lshTopK(vecs, k = 5, tables = 16,
+          bits = graft.similarity.Ann.autoBits(
+            graft.util.ParquetMeta.rowCount(s, t(d, "embeddings"))))
+        .filter(col("qid") % 10 === 0).select("qid", "nid")
+      val fFix = materialized(s, d, "graft_q79_found", found)
+      recallRow(s, fFix, exactTopkSample(s, d, 5), Seq("qid", "nid"), 0.9)
+    }),
+    "q80_ann_ivf_recall" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val nlist = graft.similarity.Ann.autoNlist(
+        graft.util.ParquetMeta.rowCount(s, t(d, "embeddings")))
+      val found = graft.similarity.Ann.ivfTopK(vecs, k = 5, nlist = nlist,
+          nprobe = graft.similarity.Ann.autoNprobe(nlist))
+        .filter(col("qid") % 10 === 0).select("qid", "nid")
+      val fFix = materialized(s, d, "graft_q80_found", found)
+      recallRow(s, fFix, exactTopkSample(s, d, 5), Seq("qid", "nid"), 0.8)
+    }),
+    // near-dup pair recall on the doc_id < 500 window: truth = ALL window
+    // pairs with exact shingle-jaccard ≥ 0.5 (the window bounds the O(n²)
+    // truth at 124,750 pairs REGARDLESS of sf — the q30/q60
+    // bounded-exact-baseline pattern); found = the production operator on
+    // the full corpus, intersected with the window
+    "q81_near_dup_recall" -> ((s, d) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(d, "documents"))
+        .select("doc_id", "text").as[(Long, String)]
+      val scope = new graft.util.CacheScope
+      val found = graft.dedup.MinHashLsh
+        .nearDuplicatePairs(docs, threshold = 0.5, scope = scope)
+        .toDF("a", "b", "j")
+        .filter(col("a") < 500 && col("b") < 500).select("a", "b")
+      val fFix = materialized(s, d, "graft_q81_found", found)
+      // truth: per-doc shingle hash sets broadcast (≤500 docs), pair
+      // grid evaluated distributed — exact, no text re-shipping
+      val win = docs.filter(_._1 < 500)
+      val sets = win.map { case (id, text) =>
+        (id, graft.dedup.MinHashLsh.shingles(text).toArray.distinct.sorted)
+      }.collect()
+      val bc = s.sparkContext.broadcast(sets.toMap)
+      val ids = sets.map(_._1).sorted
+      val truth = s.sparkContext.parallelize(
+          for { i <- ids.indices; j <- i + 1 until ids.length }
+            yield (ids(i), ids(j)), 32)
+        .map { case (a, b) =>
+          val sa = bc.value(a); val sb = bc.value(b)
+          var ia = 0; var ib = 0; var inter = 0
+          while (ia < sa.length && ib < sb.length) {
+            if (sa(ia) == sb(ib)) { inter += 1; ia += 1; ib += 1 }
+            else if (sa(ia) < sb(ib)) ia += 1
+            else ib += 1
+          }
+          val union = sa.length + sb.length - inter
+          val jac = if (union == 0) 1.0 else inter.toDouble / union
+          (a, b, jac)
+        }
+        .filter(_._3 >= 0.5).toDF("a", "b", "j").select("a", "b")
+      val out = recallRow(s, fFix, truth, Seq("a", "b"), 0.9)
+      if (!sys.props.contains("graft.bench")) scope.close()
+      out
+    }),
+    // cosine near-dup pair recall on the vec_id < 500 window (same
+    // bounded-truth shape; found = the q61 operator config on the full
+    // corpus)
+    "q82_cosine_dup_recall" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val found = graft.similarity.Ann.cosineDupPairsLsh(vecs, tau = 0.35,
+          tables = 16,
+          bits = graft.similarity.Ann.autoBits(
+            graft.util.ParquetMeta.rowCount(s, t(d, "embeddings")),
+            targetBucket = 64))
+        .filter(col("a") < 500 && col("b") < 500).select("a", "b")
+      val fFix = materialized(s, d, "graft_q82_found", found)
+      val win = vecs.filter(_._1 < 500)
+      val truth = win.toDF("a", "va")
+        .crossJoin(broadcast(win.toDF("b", "vb")))
+        .filter(col("a") < col("b"))
+        .as[(Long, Array[Float], Long, Array[Float])]
+        .map { case (a, va, b, vb) =>
+          (a, b,
+            math.floor(graft.similarity.Ann.dot(va, vb) * 1e5 + 0.5) / 1e5)
+        }
+        .filter(_._3 >= 0.35).toDF("a", "b", "sim").select("a", "b")
+      recallRow(s, fFix, truth, Seq("a", "b"), 0.9)
     }),
 
     "q25_token_count" -> ((s, d) => {
@@ -1552,6 +1733,61 @@ object SparkEntry {
          |    AND sc.top_bigram_frac <= 0.08 AND sc.dup_line_frac <= 0.3
          |    AND sc.doc_id = k.keeper) AS kept
          |FROM sc LEFT JOIN k USING (h)""".stripMargin,
+    // recall oracles: ground truth re-derived exactly in SQL, found set
+    // from the fixture, recall_ok literal TRUE (hard gate; see the q79
+    // query comment for gate calibration)
+    "q79_ann_lsh_recall" -> topkRecallOracleSql("graft_q79_found"),
+    "q80_ann_ivf_recall" -> topkRecallOracleSql("graft_q80_found"),
+    "q81_near_dup_recall" ->
+      s"""WITH f AS (
+         |  SELECT a, b
+         |  FROM read_parquet('${oracleFixtureDir("graft_q81_found")}/*.parquet')),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |    ELSE list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sg
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
+         |        FROM documents WHERE doc_id < 500)),
+         |tr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x, sh y
+         |  WHERE x.doc_id < y.doc_id
+         |    AND CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
+         |      / len(list_distinct(x.sg || y.sg)) >= 0.5),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM tr) AS n_true,
+         |  (SELECT count(*) FROM f) AS n_found,
+         |  (SELECT count(*) FROM f JOIN tr USING (a, b)) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |    ELSE floor(CAST(n_hit AS DOUBLE) / n_true * 10000 + 0.5) / 10000
+         |    END AS recall,
+         |  TRUE AS recall_ok
+         |FROM m""".stripMargin,
+    "q82_cosine_dup_recall" ->
+      s"""WITH f AS (
+         |  SELECT a, b
+         |  FROM read_parquet('${oracleFixtureDir("graft_q82_found")}/*.parquet')),
+         |tr AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < y.vec_id AND x.vec_id < 500 AND y.vec_id < 500
+         |    AND ${dotMirror("x", "y")} >= 0.35),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM tr) AS n_true,
+         |  (SELECT count(*) FROM f) AS n_found,
+         |  (SELECT count(*) FROM f JOIN tr USING (a, b)) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |    ELSE floor(CAST(n_hit AS DOUBLE) / n_true * 10000 + 0.5) / 10000
+         |    END AS recall,
+         |  TRUE AS recall_ok
+         |FROM m""".stripMargin,
     // benchmark-decontamination mirror: FULL value-level (n_hits per
     // doc from raw string 13-grams; see decontamOracleBody)
     "q77_decontaminate" -> decontamOracleBody,
