@@ -381,17 +381,15 @@ object SparkEntry {
     // across the two runs plus band structure (16 bands/doc, band∈[0,16))
     // via filters that drop rows on violation; the hash values themselves
     // are spec-gated (pure splitmix64/FNV, not ANSI-SQL-expressible)
+    // FULL value-level since round 5: the oracle recomputes every band
+    // hash from scratch in HUGEINT wrapping arithmetic (FNV-1a shingle
+    // hash → splitmix64 finalize → 64 per-lane signed minima → the
+    // 31-chain band reduction, which is LINEAR mod 2^64 and therefore a
+    // plain SQL aggregation) — no fixture, no stability run
     "q23_minhash_lsh" -> ((s, d) => {
       import s.implicits._
       val docs = s.read.parquet(t(d, "documents"))
         .select("doc_id", "text").as[(Long, String)]
-      // the materialized run feeds the DuckDB stability oracle; the
-      // fixture path is keyed by sf dir and Bench (graft.bench property)
-      // skips the write — so neither a bench run nor a verify at another
-      // sf dir can clobber the fixture the driver's compare reads
-      if (!sys.props.contains("graft.bench"))
-        graft.dedup.MinHashLsh.bands(docs).toDF()
-          .write.mode("overwrite").parquet(fixtureDir("graft_q23_bands", d))
       graft.dedup.MinHashLsh.bands(docs).toDF()
     }),
     "q24_simhash" -> ((s, d) => {
@@ -1253,6 +1251,65 @@ object SparkEntry {
        |SELECT doc_id, ${toSigned64("uh")} AS simhash FROM s""".stripMargin
   }
 
+  /** Full value-level mirror of `MinHashLsh.bands`: text → lowercased
+    * whitespace tokens → word-trigram shingles (single whole-string
+    * shingle under 3 tokens) → FNV-1a over UTF-16 code units →
+    * splitmix64 finalize → per-lane hash mix64(sh ⊕ mix64(lane)) with
+    * the 64 mix64(lane) constants precomputed here → SIGNED min per
+    * (doc, lane) via the +2^63 bias (Scala's `<` on Long is signed) →
+    * band hash h = ((((seed·31+s₀)·31+s₁)·31+s₂)·31+s₃) mod 2^64,
+    * which expands to the LINEAR form seed·31⁴ + Σ sᵢ·31^(3-i) and is
+    * therefore a plain SQL sum aggregation. Set-based throughout
+    * (≈ |shingles|·64 rows), no per-row lambda chains.
+    */
+  private val minhashBandsOracleSql: String = {
+    def mix64(z0: BigInt): BigInt = {
+      val M = BigInt(1) << 64
+      var z = (z0 + BigInt("9e3779b97f4a7c15", 16)).mod(M)
+      z = ((z ^ (z >> 30)) * BigInt("bf58476d1ce4e5b9", 16)).mod(M)
+      z = ((z ^ (z >> 27)) * BigInt("94d049bb133111eb", 16)).mod(M)
+      z ^ (z >> 31)
+    }
+    val lanes = (0 until 64)
+      .map(i => s"($i, ${mix64(BigInt(i))}::HUGEINT)").mkString(", ")
+    val bias = "9223372036854775808::HUGEINT"
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |      ELSE list_transform(range(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS g
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
+       |          FROM documents))),
+       |fn AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(string_split(g, ''), c -> unicode(c)::HUGEINT)),
+       |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % $M64) AS f
+       |  FROM sh),
+       |h1 AS (SELECT doc_id, (f + 11400714819323198485::HUGEINT) % $M64 AS z FROM fn),
+       |h2 AS (SELECT doc_id, ${mulModAfterXorShift("z", 30, BigInt("bf58476d1ce4e5b9", 16))} AS z FROM h1),
+       |h3 AS (SELECT doc_id, ${mulModAfterXorShift("z", 27, BigInt("94d049bb133111eb", 16))} AS z FROM h2),
+       |hs AS (SELECT doc_id, xor(z, z // 2147483648::HUGEINT) AS sh64 FROM h3),
+       |ln AS (SELECT * FROM (VALUES $lanes) AS t(lane, lc)),
+       |lz1 AS (SELECT doc_id, lane,
+       |  (xor(sh64, lc) + 11400714819323198485::HUGEINT) % $M64 AS z FROM hs, ln),
+       |lz2 AS (SELECT doc_id, lane, ${mulModAfterXorShift("z", 30, BigInt("bf58476d1ce4e5b9", 16))} AS z FROM lz1),
+       |lz3 AS (SELECT doc_id, lane, ${mulModAfterXorShift("z", 27, BigInt("94d049bb133111eb", 16))} AS z FROM lz2),
+       |lz AS (SELECT doc_id, lane, xor(z, z // 2147483648::HUGEINT) AS z FROM lz3),
+       |sig AS (
+       |  SELECT doc_id, lane, (min((z + $bias) % $M64) + $bias) % $M64 AS su
+       |  FROM lz GROUP BY 1, 2),
+       |bh AS (
+       |  SELECT doc_id, CAST(lane // 4 AS INT) AS band,
+       |    (1125899906842597::HUGEINT * 923521::HUGEINT
+       |      + sum((su * (CASE lane % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+       |          WHEN 2 THEN 31 ELSE 1 END)::HUGEINT) % $M64)::HUGEINT)
+       |      % $M64 AS bu
+       |  FROM sig GROUP BY 1, 2)
+       |SELECT doc_id, band, ${toSigned64("bu")} AS band_hash FROM bh""".stripMargin
+  }
+
   private val fingerprintOracleSql: String =
     s"""WITH n AS (
        |  SELECT doc_id,
@@ -1555,15 +1612,12 @@ object SparkEntry {
          |  END AS winnow
          |FROM r""".stripMargin
     },
-    // structural + stability oracle: reads the q23 query's OTHER run — a
-    // violated structure predicate drops rows and fails the row/hash gate
-    "q23_minhash_lsh" ->
-      s"""SELECT doc_id, band, band_hash FROM (
-         |  SELECT doc_id, band, band_hash,
-         |    count(*) OVER (PARTITION BY doc_id) AS nb
-         |  FROM read_parquet('${oracleFixtureDir("graft_q23_bands")}/*.parquet')
-         |  WHERE band >= 0 AND band < 16)
-         |WHERE nb = 16""".stripMargin,
+    // FULL value-level mirror (round 5, replacing the old structural +
+    // stability fixture oracle): shingle FNV-1a + splitmix64 in HUGEINT,
+    // per-lane SIGNED minima via the +2^63 bias trick (Scala compares
+    // signature values as signed longs), and the band 31-chain expanded
+    // to its linear form seed·31⁴ + Σ sigᵢ·31^(3-i) mod 2^64
+    "q23_minhash_lsh" -> minhashBandsOracleSql,
     "q22_dedup_norm" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
         | count(*) AS n, min(doc_id) AS keeper
