@@ -54,6 +54,46 @@ object SparkEntry {
     * re-derived over the emitted set (duplicate rows get conflicting
     * ranks and drop out, failing the row gate).
     */
+  /** Quantized-store mirror of one embedding side: scale + int codes via
+    * the q73 bit-exact arithmetic (alias `$a` → columns `{a}_scale`,
+    * `{a}_codes`).
+    */
+  private def quantMirrorCte(a: String): String =
+    s"""(SELECT vec_id AS ${a}_id, scale AS ${a}_scale,
+       |  list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+       |    ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)
+       |    END) AS ${a}_codes
+       | FROM (SELECT vec_id, embedding,
+       |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+       |     AS scale FROM embeddings))""".stripMargin
+
+  /** Quantized pair sim mirror: (scale_a · scale_b) · Σ codeᵢ·codeᵢ with
+    * the operator's multiplication ORDER and floor rounding — IEEE-
+    * identical to `Ann.simI8`.
+    */
+  private def simI8Mirror(a: String, b: String): String =
+    s"""(floor((${a}_scale * ${b}_scale) *
+       | CAST(list_sum(list_transform(list_zip(${a}_codes, ${b}_codes),
+       |   p -> p[1] * p[2])) AS DOUBLE) * 100000 + 0.5) / 100000)""".stripMargin
+
+  /** Partial oracle for the int8 ANN fixture: every emitted sim must
+    * equal the quantized dot re-derived from the embeddings (scale and
+    * codes recomputed via the q73 mirror), rk re-derived over the
+    * emitted set. Candidate recall stays spec-gated (overlap ≥ 0.9 vs
+    * the float path, StreamingAnnSpec).
+    */
+  private def annI8TopkOracleSql(base: String): String =
+    s"""SELECT qid, nid, sim, rk FROM (
+       |  SELECT p.qid, p.nid, p.sim, p.rk,
+       |    ${simI8Mirror("qa", "qb")} AS true_sim,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY p.sim DESC, p.nid) AS true_rk
+       |  FROM read_parquet('${oracleFixtureDir(base)}/*.parquet') p
+       |  JOIN ${quantMirrorCte("qa")} qa ON p.qid = qa.qa_id
+       |  JOIN ${quantMirrorCte("qb")} qb ON p.nid = qb.qb_id
+       |  WHERE p.qid <> p.nid AND p.rk >= 1 AND p.rk <= 5)
+       |WHERE sim = true_sim AND rk = true_rk""".stripMargin
+
   private def annTopkOracleSql(base: String): String =
     s"""SELECT qid, nid, sim, rk FROM (
        |  SELECT p.qid, p.nid, p.sim, p.rk,
@@ -576,6 +616,23 @@ object SparkEntry {
       val fFix = materialized(s, d, "graft_q80_found", found)
       recallRow(s, fFix, exactTopkSample(s, d, 5), Seq("qid", "nid"), 0.8)
     }),
+    // int8 ANN SEARCH path (the serve-time win of q73's storage cut):
+    // top-k directly over (scale, codes) with the integer dot kernel —
+    // no dequantized store anywhere in the plan. Emitted rows are
+    // value-level checked against the quantized-dot mirror; overlap vs
+    // the float path is spec-gated (StreamingAnnSpec)
+    "q83_ann_int8" -> ((s, d) => {
+      import s.implicits._
+      val vecs = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val q = graft.similarity.Quantize.int8(vecs)
+        .as[(Long, Double, Array[Byte])]
+      val topk = graft.similarity.Ann.lshTopKI8(q, k = 5, tables = 16,
+        bits = graft.similarity.Ann.autoBits(
+          graft.util.ParquetMeta.rowCount(s, t(d, "embeddings"))))
+      materialized(s, d, "graft_q83_topk", topk)
+    }),
+
     // near-dup pair recall on the doc_id < 500 window: truth = ALL window
     // pairs with exact shingle-jaccard ≥ 0.5 (the window bounds the O(n²)
     // truth at 124,750 pairs REGARDLESS of sf — the q30/q60
@@ -1791,6 +1848,9 @@ object SparkEntry {
     // from the fixture, recall_ok literal TRUE (hard gate; see the q79
     // query comment for gate calibration)
     "q79_ann_lsh_recall" -> topkRecallOracleSql("graft_q79_found"),
+    // int8 ANN partial oracle: emitted sims re-derived from the
+    // quantized mirror (see annI8TopkOracleSql)
+    "q83_ann_int8" -> annI8TopkOracleSql("graft_q83_topk"),
     "q80_ann_ivf_recall" -> topkRecallOracleSql("graft_q80_found"),
     "q81_near_dup_recall" ->
       s"""WITH f AS (

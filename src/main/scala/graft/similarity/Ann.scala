@@ -40,14 +40,31 @@ object Ann {
     s / 2.0
   }
 
+  // Hyperplanes are PURE deterministic data (gauss is a hash), so they
+  // are precomputed once per (table, bits, dim) per JVM instead of
+  // re-hashing 4 mix64 per component per VECTOR — measured dominant in
+  // the signature pass at high dim (768-dim: bits·dim·4 hashes per
+  // vector vs a plain multiply-add sweep). Bounded: bits·dim doubles
+  // per entry, a handful of configs per job; safe JVM-global state
+  // (value-deterministic, write-once per key).
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def planes(table: Int, bits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent(
+      (table.toLong << 40) | (bits.toLong << 20) | dim.toLong,
+      _ => Array.tabulate(bits * dim)(i => gauss(table, i / dim, i % dim)))
+
   def signature(vec: Array[Float], table: Int, bits: Int): Long = {
+    val p = planes(table, bits, vec.length)
     var sig = 0L
     var b = 0
     while (b < bits) {
       var dot = 0.0
       var d = 0
+      val off = b * vec.length
       while (d < vec.length) {
-        dot += vec(d) * gauss(table, b, d)
+        dot += vec(d) * p(off + d)
         d += 1
       }
       if (dot > 0) sig |= (1L << b)
@@ -300,6 +317,165 @@ object Ann {
     boundedPairSims(keyed, keyed, bucketCap)
       .filter(col("qid") < col("nid") && col("sim") >= tau)
       .select(col("qid").as("a"), col("nid").as("b"), col("sim"))
+  }
+
+  // ------------------------------------------------------------------
+  // Int8 search path: ANN directly over quantized (scale, codes)
+  // ------------------------------------------------------------------
+  // Searching the quantized store WITHOUT dequantizing is the actual
+  // serve-time win of int8 storage: the rerank kernel reads 1 B/component
+  // instead of 4 (the memory-bandwidth-bound part of ANN at scale) and
+  // accumulates integer products, with ONE float multiply (scale_a ·
+  // scale_b · acc) per pair instead of one per component. Neighbor
+  // overlap vs the float path is spec-gated ≥ 0.9 (StreamingAnnSpec);
+  // the A/B timing lives in tools/I8AnnBench.
+
+  /** Integer dot over int8 codes — the bandwidth-bound kernel. Exact in
+    * Long (|codes| · 127² ≪ 2⁶³).
+    */
+  def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i).toInt * b(i).toInt; i += 1 }
+    s
+  }
+
+  /** Quantized pair similarity with the operator family's rounding:
+    * scale_a · scale_b · (integer dot), floor(x·1e5+0.5)/1e5.
+    */
+  @inline def simI8(sa: Double, ca: Array[Byte], sb: Double, cb: Array[Byte]): Double =
+    math.floor(sa * sb * dotI8(ca, cb).toDouble * 1e5 + 0.5) / 1e5
+
+  /** Random-hyperplane signature over codes. The per-vector scale is
+    * POSITIVE, so sign(Σ codeᵢ·scale·gᵢ) = sign(Σ codeᵢ·gᵢ): the
+    * signature needs no dequantization and no scale at all (zero-scale
+    * vectors are all-zero codes → signature 0, deterministic).
+    */
+  def signatureI8(codes: Array[Byte], table: Int, bits: Int): Long = {
+    val p = planes(table, bits, codes.length)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var d = 0
+      val off = b * codes.length
+      while (d < codes.length) {
+        dot += codes(d).toInt * p(off + d)
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** [[boundedPairSims]]'s int8 twin: identical sub-sharded cogroup shape
+    * (members materialized ≤ ~cap per task, probes streaming), the rerank
+    * kernel is [[dotI8]]. rows: (key, id, scale, codes).
+    */
+  def boundedPairSimsI8(
+      members: Dataset[(Long, Long, Double, Array[Byte])],
+      probes: Dataset[(Long, Long, Double, Array[Byte])],
+      cap: Int): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    val sizes = members.toDF("key", "id", "scale", "codes")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val m = members.toDF("key", "id", "scale", "codes")
+      .join(sizes, "key")
+      .select(col("key"),
+        pmod(xxhash64(col("id")), shardsCol(cap)).cast("int").as("shard"),
+        col("id"), col("scale"), col("codes"))
+      .as[(Long, Int, Long, Double, Array[Byte])]
+    val p = probes.toDF("key", "id", "scale", "codes")
+      .join(sizes, "key")
+      .select(col("key"), shardsCol(cap).as("shards"),
+        col("id"), col("scale"), col("codes"))
+      .as[(Long, Int, Long, Double, Array[Byte])]
+      .flatMap { case (key, shards, id, sc, cs) =>
+        (0 until shards).iterator.map(sh => (key, sh, id, sc, cs))
+      }
+    p.groupByKey(r => (r._1, r._2))
+      .cogroup(m.groupByKey(r => (r._1, r._2))) { (_, ps, ms) =>
+        val mem = ms.map(t => (t._3, t._4, t._5)).toArray // bounded by ~cap
+        ps.flatMap { case (_, _, qid, qs, qc) =>
+          mem.iterator.collect {
+            case (nid, ns, nc) if nid != qid =>
+              (qid, nid, simI8(qs, qc, ns, nc))
+          }
+        }
+      }
+      .toDF("qid", "nid", "sim").dropDuplicates("qid", "nid")
+  }
+
+  /** [[lshTopK]] over the quantized store: same bucket/shard topology,
+    * signatures from codes, rerank via the integer kernel.
+    */
+  def lshTopKI8(
+      vectors: Dataset[(Long, Double, Array[Byte])],
+      k: Int = 5,
+      tables: Int = 8,
+      bits: Int = 10,
+      bucketCap: Int = 4096): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val keyed = vectors.flatMap { case (id, sc, cs) =>
+      (0 until tables).iterator.map(t =>
+        ((t.toLong << 48) ^ (signatureI8(cs, t, bits) & 0xffffffffffffL),
+          id, sc, cs))
+    }
+    topK(boundedPairSimsI8(keyed, keyed, bucketCap), k)
+  }
+
+  /** [[ivfTopK]] over the quantized store. The tiny centroid table stays
+    * float (trained on the dequantized driver sample — centroid work is
+    * the cheap part); cell assignment maximizes Σ codeᵢ·centᵢ, which
+    * equals the dequantized argmax because scale > 0 is constant per
+    * vector. The within-cell rerank — the bandwidth-bound part — runs
+    * the integer kernel.
+    */
+  def ivfTopKI8(
+      vectors: Dataset[(Long, Double, Array[Byte])],
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      bucketCap: Int = 4096): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val deq = vectors.map { case (id, sc, cs) =>
+      (id, cs.map(c => (c * sc).toFloat))
+    }
+    val cents = spark.sparkContext.broadcast(trainCentroids(deq, nlist))
+    val effProbe = math.min(nprobe, cents.value.length)
+    def nearestByCodes(cs: Array[Byte]): Int = {
+      val c = cents.value
+      var best = 0
+      var bestDot = Double.MinValue
+      var i = 0
+      while (i < c.length) {
+        var s = 0.0
+        var d = 0
+        while (d < cs.length) { s += cs(d).toInt * c(i)(d); d += 1 }
+        if (s > bestDot) { bestDot = s; best = i }
+        i += 1
+      }
+      best
+    }
+    val assigned = vectors.map { case (id, sc, cs) =>
+      (nearestByCodes(cs).toLong, id, sc, cs)
+    }
+    val probes = vectors.flatMap { case (id, sc, cs) =>
+      val c = cents.value
+      val scored = c.indices.map { i =>
+        var s = 0.0
+        var d = 0
+        while (d < cs.length) { s += cs(d).toInt * c(i)(d); d += 1 }
+        (i, s)
+      }
+      scored.sortBy(-_._2).take(effProbe).iterator
+        .map { case (ci, _) => (ci.toLong, id, sc, cs) }
+    }
+    topK(boundedPairSimsI8(assigned, probes, bucketCap), k)
   }
 
   /** Brute-force exact top-k (the baseline; |q|×|n| via broadcast). */

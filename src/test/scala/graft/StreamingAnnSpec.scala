@@ -155,6 +155,40 @@ class StreamingAnnSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("int8 SEARCH path: lshTopKI8/ivfTopKI8 overlap >=0.9 vs the float path") {
+    import spark.implicits._
+    import graft.similarity.Quantize
+    // the serve-time win: search the quantized store directly (integer
+    // dot kernel, 1 B/component) — neighbor sets must match the float
+    // path within the spec gate
+    val vecs = clusteredVecs(nClusters = 30, perCluster = 20).toDS().cache()
+    val k = 5
+    val q = Quantize.int8(vecs).as[(Long, Double, Array[Byte])].cache()
+    val floatLsh = Ann.lshTopK(vecs, k = k, tables = 12, bits = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val i8Lsh = Ann.lshTopKI8(q, k = k, tables = 12, bits = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lshOverlap = (floatLsh & i8Lsh).size.toDouble / floatLsh.size
+    info(f"int8 lsh overlap vs float = $lshOverlap%.3f")
+    assert(lshOverlap >= 0.9, f"int8 lsh overlap $lshOverlap%.3f below 0.9")
+    val floatIvf = Ann.ivfTopK(vecs, k = k, nlist = 16, nprobe = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val i8Ivf = Ann.ivfTopKI8(q, k = k, nlist = 16, nprobe = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfOverlap = (floatIvf & i8Ivf).size.toDouble / floatIvf.size
+    info(f"int8 ivf overlap vs float = $ivfOverlap%.3f")
+    assert(ivfOverlap >= 0.9, f"int8 ivf overlap $ivfOverlap%.3f below 0.9")
+    // and the quantized sims are the EXACT rescaled integer dots
+    val resims = Ann.lshTopKI8(q, k = k, tables = 12, bits = 8)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+    val byId = q.collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    resims.foreach { case (a, b, sim) =>
+      val (sa, ca) = byId(a); val (sb, cb) = byId(b)
+      assert(sim == Ann.simI8(sa, ca, sb, cb))
+    }
+    q.unpersist(); vecs.unpersist()
+  }
+
   test("embedding-cosine near-dup: LSH recall >=0.9 vs exact on clustered vecs") {
     import spark.implicits._
     val vecs = clusteredVecs(nClusters = 20, perCluster = 15).toDS().cache()
