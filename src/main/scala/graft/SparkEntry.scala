@@ -616,6 +616,30 @@ object SparkEntry {
       val fFix = materialized(s, d, "graft_q80_found", found)
       recallRow(s, fFix, exactTopkSample(s, d, 5), Seq("qid", "nid"), 0.8)
     }),
+    // streaming curation end-to-end through the production sink: the
+    // full signal cascade rides the stream map-only; keeper selection is
+    // the only state (md5 → keeper id). Batch-equivalent on this staged
+    // corpus (monotone event time, span << watermark), so the oracle is
+    // the batch cascade's FULL value-level mirror (q76's, verbatim)
+    "q84_stream_curate" -> ((s, d) => {
+      import s.implicits._
+      val dir = new java.io.File(fixtureDir("graft_q84_docs", d))
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        s.read.parquet(t(d, "documents")).select("doc_id", "text")
+          .as[(Long, String)]
+          .map { case (id, text) => graft.streaming.StreamingDedup.DocIn(
+            id, new java.sql.Timestamp(1600000000000L + id * 1000L), text) }
+          .toDF().coalesce(4)
+          .write.mode("overwrite").parquet(dir.toString)
+      val out = fixtureDir("graft_q84_out", d)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.streaming.StreamingCurate.run(s, dir.toString, "q84_curate", out)
+      s.read.parquet(out).select("doc_id", "lang_pred", "composite",
+        "top_bigram_frac", "dup_line_frac", "verdict", "kept")
+    }),
+
     // int8 ANN SEARCH path (the serve-time win of q73's storage cut):
     // top-k directly over (scale, codes) with the integer dot kernel —
     // no dequantized store anywhere in the plan. Emitted rows are
@@ -1523,6 +1547,37 @@ object SparkEntry {
          |FROM sc""".stripMargin
       }
 
+  /** The full-cascade mirror (q76's oracle), shared VERBATIM by the
+    * streaming cascade (q84) — the batch-equivalence contract IS the
+    * oracle.
+    */
+  private lazy val curateFullOracleSql: String =
+    s"""WITH li AS ($langIdOracleBody),
+       |ql AS ($qualityOracleBody),
+       |rp AS ($repetitionOracleBody),
+       |sc AS (
+       |  SELECT d.doc_id, li.lang_pred, ql.composite,
+       |    rp.top_bigram_frac, rp.dup_line_frac, md5(d.text) AS h
+       |  FROM documents d JOIN li USING (doc_id) JOIN ql USING (doc_id)
+       |    JOIN rp USING (doc_id)),
+       |k AS (
+       |  SELECT h, min(doc_id) AS keeper FROM sc
+       |  WHERE lang_pred = 'en' AND composite >= 0.3
+       |    AND top_bigram_frac <= 0.08 AND dup_line_frac <= 0.3
+       |  GROUP BY h)
+       |SELECT sc.doc_id, sc.lang_pred, sc.composite,
+       |  sc.top_bigram_frac, sc.dup_line_frac,
+       |  CASE WHEN sc.lang_pred <> 'en' THEN 'lang'
+       |       WHEN sc.composite < 0.3 THEN 'quality'
+       |       WHEN sc.top_bigram_frac > 0.08 OR sc.dup_line_frac > 0.3
+       |         THEN 'repetition'
+       |       WHEN sc.doc_id <> k.keeper THEN 'duplicate'
+       |       ELSE 'kept' END AS verdict,
+       |  (sc.lang_pred = 'en' AND sc.composite >= 0.3
+       |    AND sc.top_bigram_frac <= 0.08 AND sc.dup_line_frac <= 0.3
+       |    AND sc.doc_id = k.keeper) AS kept
+       |FROM sc LEFT JOIN k USING (h)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -1818,32 +1873,13 @@ object SparkEntry {
     "q75_repetition" -> repetitionOracleBody,
     // the q27 + q50 + q75 + q21 mirrors composed — the full curation
     // cascade, every stage individually value-level oracled
-    "q76_curation_full" ->
-      s"""WITH li AS ($langIdOracleBody),
-         |ql AS ($qualityOracleBody),
-         |rp AS ($repetitionOracleBody),
-         |sc AS (
-         |  SELECT d.doc_id, li.lang_pred, ql.composite,
-         |    rp.top_bigram_frac, rp.dup_line_frac, md5(d.text) AS h
-         |  FROM documents d JOIN li USING (doc_id) JOIN ql USING (doc_id)
-         |    JOIN rp USING (doc_id)),
-         |k AS (
-         |  SELECT h, min(doc_id) AS keeper FROM sc
-         |  WHERE lang_pred = 'en' AND composite >= 0.3
-         |    AND top_bigram_frac <= 0.08 AND dup_line_frac <= 0.3
-         |  GROUP BY h)
-         |SELECT sc.doc_id, sc.lang_pred, sc.composite,
-         |  sc.top_bigram_frac, sc.dup_line_frac,
-         |  CASE WHEN sc.lang_pred <> 'en' THEN 'lang'
-         |       WHEN sc.composite < 0.3 THEN 'quality'
-         |       WHEN sc.top_bigram_frac > 0.08 OR sc.dup_line_frac > 0.3
-         |         THEN 'repetition'
-         |       WHEN sc.doc_id <> k.keeper THEN 'duplicate'
-         |       ELSE 'kept' END AS verdict,
-         |  (sc.lang_pred = 'en' AND sc.composite >= 0.3
-         |    AND sc.top_bigram_frac <= 0.08 AND sc.dup_line_frac <= 0.3
-         |    AND sc.doc_id = k.keeper) AS kept
-         |FROM sc LEFT JOIN k USING (h)""".stripMargin,
+    "q76_curation_full" -> curateFullOracleSql,
+    // streaming curation == batch curateFull on a replayed corpus whose
+    // event time is monotone in doc_id and whose span sits inside the
+    // watermark (sf0.01 spans 500 s << 1 h, so nothing can be evicted):
+    // the STREAM gets the batch cascade's FULL value-level oracle
+    // verbatim — a stronger gate than the q70 partial pattern
+    "q84_stream_curate" -> curateFullOracleSql,
     // recall oracles: ground truth re-derived exactly in SQL, found set
     // from the fixture, recall_ok literal TRUE (hard gate; see the q79
     // query comment for gate calibration)

@@ -133,7 +133,42 @@ object Canonicalize {
       checkpointDir: Option[String] = None,
       convergeEvery: Int = 2): DataFrame =
     connectedComponents(edges, maxIter, checkpointDir, convergeEvery,
-      encodeMinEdges = 1000000L)
+      encodeMinEdges = 1000000L, encodeMinBytesPerName = 16.0)
+
+  /** DEFLATE-compressed bytes per node name over a bounded driver-side
+    * sample — the shuffle-cost proxy the encode decision needs. Shuffle
+    * blocks are lz4-compressed, so RAW name length overstates the
+    * string path's cost on repetitive names: CcScaleBench measured the
+    * encode path at 3.32× shuffle / −12% wall on high-entropy ~70 B
+    * URIs but BREAK-EVEN-to-slower (+10% wall) on compressible padded /
+    * sequential names whose shuffled bytes deflate to almost nothing.
+    * The per-round cost the decision models is the LABEL table's — one
+    * row per distinct NODE — so the probe dedups its sample before
+    * compressing: a head-entity hub repeated across the first million
+    * edge rows must not masquerade as a compressible corpus (the spoke
+    * names carry the real entropy). Both endpoints are sampled (hub
+    * graphs put all heads on one side), the distinct set is compressed
+    * as one block (cross-name redundancy counts, like a shuffle block);
+    * ≈128 KB-bounded driver probe, no shuffle.
+    */
+  private[graft] def sampledBytesPerName(edges: DataFrame, n: Int = 2048): Double = {
+    val sample = (edges.select("src").limit(n).collect() ++
+      edges.select("dst").limit(n).collect())
+      .map(_.getString(0)).distinct
+    if (sample.isEmpty) 0.0
+    else {
+      val bytes = sample.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val deflater = new java.util.zip.Deflater(6)
+      deflater.setInput(bytes)
+      deflater.finish()
+      val buf = new Array[Byte](bytes.length + 128)
+      var total = 0
+      while (!deflater.finished()) total += deflater.deflate(buf)
+      deflater.end()
+      total.toDouble / sample.length
+    }
+  }
 
   /** @param encodeMinEdges dictionary-encode only when the (materialized)
     *   bidirected edge list is at least this large: below it the string
@@ -142,13 +177,20 @@ object Canonicalize {
     *   few-hundred-edge graphs); above it 8-byte-id rounds cut per-round
     *   shuffle bytes several-fold. The count is taken on the
     *   checkpointed edge list — a metadata-cheap job, not a recompute.
+    * @param encodeMinBytesPerName entropy gate (round-5, from the
+    *   CcScaleBench both-directions finding): even above the edge
+    *   threshold, encode only when the sampled COMPRESSED name size
+    *   exceeds this — names that deflate below ~2× the 8-byte id cost
+    *   the string path less than the encode machinery's fixed stages.
+    *   0.0 forces the encode path regardless of entropy (benches/specs).
     */
   def connectedComponents(
       edges: DataFrame,
       maxIter: Int,
       checkpointDir: Option[String],
       convergeEvery: Int,
-      encodeMinEdges: Long): DataFrame = {
+      encodeMinEdges: Long,
+      encodeMinBytesPerName: Double): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
@@ -246,8 +288,12 @@ object Canonicalize {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
 
-    if (bidirStr.count() < encodeMinEdges) {
-      // small graph: string labels directly (min-string == the contract)
+    // the entropy probe only runs once the edge threshold is reached —
+    // small graphs take the string path with zero extra work
+    if (bidirStr.count() < encodeMinEdges ||
+        sampledBytesPerName(bidirStr) < encodeMinBytesPerName) {
+      // small graph OR compressible names: string labels directly
+      // (min-string == the contract; lz4'd string shuffles are cheap)
       ccLoop(bidirStr, Seq.empty)
     } else {
       val (dict, encoded) = encodeEdges(bidirStr, save)

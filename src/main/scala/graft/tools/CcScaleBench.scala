@@ -87,9 +87,12 @@ object CcScaleBench {
     def run(encodeMin: Long, label: String): (Double, Long, Long, java.math.BigDecimal, Int) = {
       val before = listener.bytes.get()
       val t0 = System.nanoTime()
+      // forced paths: the encode run disables the entropy gate (0.0) so
+      // the A/B stays a pure path comparison on ANY name shape; the
+      // AUTO decision is reported separately below
       val cc = Canonicalize.connectedComponents(edges, maxIter = 30,
         checkpointDir = Some(s"$ckptRoot/$label"), convergeEvery = 2,
-        encodeMinEdges = encodeMin)
+        encodeMinEdges = encodeMin, encodeMinBytesPerName = 0.0)
       val joinBacks = cc.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }.size
@@ -115,13 +118,21 @@ object CcScaleBench {
       s"plan shape: encode path must decode via 2 dict joins (got $jbL), " +
         s"string path none (got $jbS)")
 
+    // what the round-5 entropy-adaptive default would DECIDE on this
+    // graph (the gate CcScaleBench's round-4 finding motivated): padded
+    // md5 names sit far above 16 B/name deflated → encode; pad=0
+    // sequential names deflate below it → string
+    val bpn = Canonicalize.sampledBytesPerName(edges)
+    val autoPath = if (bpn >= 16.0) "encode" else "string"
+
     println(
       f"""{"metric":"cc_scale","edges":$nEdges,"components":$nL,""" +
         f""""hubs":$hubs,"spokes":$spokes,"chains":$chains,"chain_len":$chainLen,""" +
         f""""long_path_secs":$sL%.2f,"long_path_shuffle_mb":${shL / 1e6}%.1f,""" +
         f""""string_path_secs":$sS%.2f,"string_path_shuffle_mb":${shS / 1e6}%.1f,""" +
         f""""shuffle_ratio":${shS.toDouble / math.max(1L, shL)}%.2f,""" +
-        f""""encode_join_backs":$jbL}""")
+        f""""encode_join_backs":$jbL,""" +
+        f""""sampled_bytes_per_name":$bpn%.1f,"auto_path":"$autoPath"}""")
     spark.stop()
   }
 }

@@ -130,13 +130,65 @@ class PlanQualitySpec extends AnyFunSuite {
     // ("b10" < "b9"), not the numeric-min suffix — the encoding must not
     // change the contract
     val cc = graft.canon.Canonicalize
-      .connectedComponents(edges, 20, None, 2, encodeMinEdges = 0L)
+      .connectedComponents(edges, 20, None, 2, encodeMinEdges = 0L,
+        encodeMinBytesPerName = 0.0)
       .as[(String, String)].collect().toMap
     assert(cc.values.toSet == Set("b10"), s"wrong representative: $cc")
     // and the small-graph string path agrees exactly
     val ccSmall = graft.canon.Canonicalize.connectedComponents(edges)
       .as[(String, String)].collect().toMap
     assert(ccSmall == cc)
+  }
+
+  test("CC encode decision is entropy-adaptive (compressible names -> string path)") {
+    import spark.implicits._
+    def joinBacks(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    // sequential zero-padded names deflate to ~nothing: with the edge
+    // threshold forced past, the ENTROPY gate must still pick strings
+    val compressible = (0 until 400)
+      .map(i => (f"http://example.org/node_$i%06d", f"http://example.org/node_${i + 1}%06d"))
+      .toDF("src", "dst")
+    val bpnC = graft.canon.Canonicalize.sampledBytesPerName(compressible)
+    assert(bpnC < 16.0, s"compressible sample unexpectedly large: $bpnC B/name")
+    val ccC = graft.canon.Canonicalize
+      .connectedComponents(compressible, 20, None, 2, encodeMinEdges = 0L,
+        encodeMinBytesPerName = 16.0)
+    assert(joinBacks(ccC) == 0,
+      "compressible names took the encode path (2 dict join-backs expected absent)")
+    // md5-suffixed names (the crawled-URI shape) stay above the gate and
+    // engage the encode path
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    val entropic = (0 until 400)
+      .map(i => (s"http://example.org/${h("a" + i)}", s"http://example.org/${h("b" + i)}"))
+      .toDF("src", "dst")
+    val bpnE = graft.canon.Canonicalize.sampledBytesPerName(entropic)
+    assert(bpnE >= 16.0, s"entropic sample unexpectedly small: $bpnE B/name")
+    val ccE = graft.canon.Canonicalize
+      .connectedComponents(entropic, 20, None, 2, encodeMinEdges = 0L,
+        encodeMinBytesPerName = 16.0)
+    assert(joinBacks(ccE) == 2,
+      s"entropic names skipped the encode path (${joinBacks(ccE)} join-backs)")
+    // hub-skew bias: ONE head entity on the src side of every edge must
+    // not drag the probe down — the label-table cost follows distinct
+    // NODES, and the spokes carry the entropy
+    val hubbed = (0 until 3000)
+      .map(i => ("http://example.org/TheHub", s"http://example.org/${h("spoke" + i)}"))
+      .toDF("src", "dst")
+    val bpnH = graft.canon.Canonicalize.sampledBytesPerName(hubbed)
+    assert(bpnH >= 16.0,
+      s"hub-repeated sample fooled the entropy probe: $bpnH B/name")
+    // identical components either way is covered by the forced-path test
+    // above; here assert the two decisions agree on VALUES too
+    val vC = ccC.as[(String, String)].collect().toMap
+    val vCForced = graft.canon.Canonicalize
+      .connectedComponents(compressible, 20, None, 2, encodeMinEdges = 0L,
+        encodeMinBytesPerName = 0.0)
+      .as[(String, String)].collect().toMap
+    assert(vC == vCForced, "string and encode paths disagree on components")
   }
 
   test("canonicalize rewrite builds its plan without running any eager job") {
@@ -160,6 +212,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(tracker.getJobIdsForGroup("rewrite_flush").nonEmpty)
     assert(tracker.getJobIdsForGroup("rewrite_probe").isEmpty,
       "rewrite ran an eager job during plan construction (the old count() guard)")
+  }
+
+  test("hinted auto-sizers build plans without running any job (q71/q42 shape)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val docs = (0L until 200L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+      .toDF("doc_id", "h")
+    val vecs = (0L until 100L).map(i => (i, Array.fill(8)(i.toFloat))).toDS()
+    sc.setJobGroup("sizer_probe", "plan-construction probe")
+    // numDocsHint short-circuits autoBlocks' docs.count(); lshTopK with a
+    // precomputed bits value is lazy throughout
+    val pairs = graft.dedup.SimHash.hammingPairs(
+      docs, maxDist = 3, numDocsHint = 200L)
+    val topk = graft.similarity.Ann.lshTopK(
+      vecs, k = 3, tables = 4, bits = graft.similarity.Ann.autoBits(100L))
+    sc.clearJobGroup()
+    sc.setJobGroup("sizer_flush", "flush")
+    assert(pairs.columns.nonEmpty && topk.columns.nonEmpty)
+    assert(spark.range(1).count() == 1L)
+    sc.clearJobGroup()
+    val tracker = sc.statusTracker
+    val deadline = System.currentTimeMillis() + 20000
+    while (tracker.getJobIdsForGroup("sizer_flush").isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(tracker.getJobIdsForGroup("sizer_flush").nonEmpty)
+    assert(tracker.getJobIdsForGroup("sizer_probe").isEmpty,
+      "auto-sized operator ran an eager job at plan-build despite the hint")
   }
 
   test("rewrite join under a planted head-entity skew gets AQE skew-split") {
