@@ -1,5 +1,7 @@
 package graft.similarity
 
+import scala.collection.parallel.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -109,7 +111,13 @@ object Ann {
         col("id"), col("vec"))
   }
 
-  def boundedPairSims(
+  /** The pre-dedup candidate stream (one row per (bucket-hit, pair)).
+    * [[boundedPairSims]] dedups it globally — the PAIR contract; the
+    * top-k paths instead prune per partition FIRST ([[topK]]), because
+    * a global dedup shuffle over the full candidate stream was measured
+    * as the dominant sf1 cost of q42/q52.
+    */
+  private def boundedPairSimsRaw(
       members: Dataset[(Long, Long, Array[Float])],
       probes: Dataset[(Long, Long, Array[Float])],
       cap: Int): DataFrame = {
@@ -136,12 +144,52 @@ object Ann {
           }
         }
       }
-      .toDF("qid", "nid", "sim").dropDuplicates("qid", "nid")
+      .toDF("qid", "nid", "sim")
   }
 
-  private def topK(sims: DataFrame, k: Int): DataFrame = {
+  def boundedPairSims(
+      members: Dataset[(Long, Long, Array[Float])],
+      probes: Dataset[(Long, Long, Array[Float])],
+      cap: Int): DataFrame =
+    boundedPairSimsRaw(members, probes, cap).dropDuplicates("qid", "nid")
+
+  /** Global top-k with a per-partition bounded pre-prune: each input
+    * partition keeps at most k DISTINCT (sim DESC, nid ASC)-best
+    * candidates per qid (a TreeSet dedups identical (sim, nid) pairs in
+    * place), so the global dedup + rank window runs over
+    * ≤ partitions·|qids|·k rows instead of the full candidate stream —
+    * the 45M-row window/dedup shuffle that dominated q42/q52 at sf1.
+    * Correct for any partitioning: every true global top-k row survives
+    * its own partition's prune (its in-partition rank ≤ its global
+    * rank), and cross-partition duplicates fall to the global
+    * dropDuplicates before ranking.
+    */
+  private[graft] def topK(sims: DataFrame, k: Int): DataFrame = {
+    val spark = sims.sparkSession
+    import spark.implicits._
+    val pruned = sims.as[(Long, Long, Double)].mapPartitions { it =>
+      val ord = new java.util.Comparator[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1) // sim desc
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2) // nid asc
+        }
+      }
+      val acc = scala.collection.mutable.HashMap
+        .empty[Long, java.util.TreeSet[(Double, Long)]]
+      it.foreach { case (qid, nid, sim) =>
+        val set = acc.getOrElseUpdate(qid,
+          new java.util.TreeSet[(Double, Long)](ord))
+        set.add((sim, nid))
+        if (set.size > k) set.pollLast()
+      }
+      acc.iterator.flatMap { case (qid, set) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+          .asScala.map { case (sim, nid) => (qid, nid, sim) }
+      }
+    }.toDF("qid", "nid", "sim")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    pruned.dropDuplicates("qid", "nid")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   // ------------------------------------------------------------------
@@ -192,7 +240,7 @@ object Ann {
       (0 until tables).iterator.map(t =>
         ((t.toLong << 48) ^ (signature(v, t, bits) & 0xffffffffffffL), id, v))
     }
-    topK(boundedPairSims(keyed, keyed, bucketCap), k)
+    topK(boundedPairSimsRaw(keyed, keyed, bucketCap), k)
   }
 
   /** Deterministic k-means coarse quantizer trained on a driver-side
@@ -220,14 +268,39 @@ object Ann {
     var cents = Array.tabulate(math.min(nlist, sample.length)) { c =>
       sample((c.toLong * sample.length / math.min(nlist, sample.length)).toInt).clone()
     }
+    // the assignment sweep is the training cost (|sample|·nlist·dim
+    // multiply-adds per iteration — single-threaded it dominated q52 at
+    // sf1) and is embarrassingly parallel: fixed-range chunks are
+    // reduced independently and MERGED IN CHUNK ORDER, so the double
+    // summation order — and therefore every centroid bit — is identical
+    // regardless of thread scheduling (determinism is contractual)
+    val chunkCount = math.min(64,
+      math.max(1, Runtime.getRuntime.availableProcessors))
+    val chunkSize = math.max(1, (sample.length + chunkCount - 1) / chunkCount)
+    val chunks = sample.grouped(chunkSize).toArray
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val counts = new Array[Int](cents.length)
-      sample.foreach { v =>
-        val c = nearestCentroid(v, cents)
-        counts(c) += 1
-        var d = 0
-        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      val snap = cents
+      val partials = chunks.par.map { chunk =>
+        val sums = Array.fill(snap.length)(new Array[Double](dim))
+        val counts = new Array[Int](snap.length)
+        chunk.foreach { v =>
+          val c = nearestCentroid(v, snap)
+          counts(c) += 1
+          var d = 0
+          while (d < dim) { sums(c)(d) += v(d); d += 1 }
+        }
+        (sums, counts)
+      }.toArray // .toArray preserves chunk order (par collections keep order)
+      val sums = Array.fill(snap.length)(new Array[Double](dim))
+      val counts = new Array[Int](snap.length)
+      partials.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < snap.length) {
+          counts(c) += pc(c)
+          var d = 0
+          while (d < dim) { sums(c)(d) += ps(c)(d); d += 1 }
+          c += 1
+        }
       }
       cents = cents.indices.map { c =>
         if (counts(c) == 0) cents(c)
@@ -275,7 +348,7 @@ object Ann {
     val probes = vectors.flatMap { case (id, v) =>
       topCentroids(v, cents.value, effProbe).iterator.map(c => (c.toLong, id, v))
     }
-    topK(boundedPairSims(assigned, probes, bucketCap), k)
+    topK(boundedPairSimsRaw(assigned, probes, bucketCap), k)
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: every (a < b) pair with
@@ -373,7 +446,7 @@ object Ann {
     * (members materialized ≤ ~cap per task, probes streaming), the rerank
     * kernel is [[dotI8]]. rows: (key, id, scale, codes).
     */
-  def boundedPairSimsI8(
+  private def boundedPairSimsRawI8(
       members: Dataset[(Long, Long, Double, Array[Byte])],
       probes: Dataset[(Long, Long, Double, Array[Byte])],
       cap: Int): DataFrame = {
@@ -405,8 +478,14 @@ object Ann {
           }
         }
       }
-      .toDF("qid", "nid", "sim").dropDuplicates("qid", "nid")
+      .toDF("qid", "nid", "sim")
   }
+
+  def boundedPairSimsI8(
+      members: Dataset[(Long, Long, Double, Array[Byte])],
+      probes: Dataset[(Long, Long, Double, Array[Byte])],
+      cap: Int): DataFrame =
+    boundedPairSimsRawI8(members, probes, cap).dropDuplicates("qid", "nid")
 
   /** [[lshTopK]] over the quantized store: same bucket/shard topology,
     * signatures from codes, rerank via the integer kernel.
@@ -424,7 +503,7 @@ object Ann {
         ((t.toLong << 48) ^ (signatureI8(cs, t, bits) & 0xffffffffffffL),
           id, sc, cs))
     }
-    topK(boundedPairSimsI8(keyed, keyed, bucketCap), k)
+    topK(boundedPairSimsRawI8(keyed, keyed, bucketCap), k)
   }
 
   /** [[ivfTopK]] over the quantized store. The tiny centroid table stays
@@ -475,7 +554,7 @@ object Ann {
       scored.sortBy(-_._2).take(effProbe).iterator
         .map { case (ci, _) => (ci.toLong, id, sc, cs) }
     }
-    topK(boundedPairSimsI8(assigned, probes, bucketCap), k)
+    topK(boundedPairSimsRawI8(assigned, probes, bucketCap), k)
   }
 
   /** Brute-force exact top-k (the baseline; |q|×|n| via broadcast). */
