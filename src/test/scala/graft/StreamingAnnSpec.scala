@@ -206,6 +206,30 @@ class StreamingAnnSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("pruned topK equals the naive global window under ties and duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // heavy ties (13 distinct sims over 50 candidates) + duplicated
+    // (qid, nid) rows spread across 16 partitions — the shapes the
+    // per-partition prune must not get wrong
+    val rows = for {
+      q <- 0L until 20L
+      n <- 0L until 50L
+      rep <- 0 until (if (n % 7 == 0) 3 else 1)
+    } yield (q, n, ((q * 31 + n * 17) % 13).toDouble / 13.0)
+    val sims = rows.toDF("qid", "nid", "sim").repartition(16)
+    val naive = sims.dropDuplicates("qid", "nid")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rk") <= 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val pruned = graft.similarity.Ann.topK(sims, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(pruned == naive,
+      s"prune diverged:\n only pruned: ${pruned -- naive}\n only naive: ${naive -- pruned}")
+  }
+
   test("hot buckets are sub-sharded: bounded groups, identical results") {
     import spark.implicits._
     // every vector in ONE bucket (identical signatures): the old code's
