@@ -652,6 +652,34 @@ object SparkEntry {
         "top_bigram_frac", "dup_line_frac", "verdict", "kept")
     }),
 
+    // sequence packing (concat-and-chunk, the GPT training layout):
+    // global token spans + chunk ranges per doc via the SCALABLE
+    // running sum (arithmetic range buckets + broadcast offsets — no
+    // global-order window; PlanQualitySpec asserts no single-partition
+    // exchange). FULL value-level oracle: SQL window cumsum
+    "q85_seq_pack" -> ((s, d) => {
+      import s.implicits._
+      graft.pipeline.Pack.concatChunks(
+        s.read.parquet(t(d, "documents"))
+          .select("doc_id", "text").as[(Long, String)],
+        chunkTokens = 512)
+    }),
+    // deterministic stratified sampling (the corpus-mixing stage):
+    // keep-decision is a pure function of content (md5-prefix uniform),
+    // so the mix is reproducible and exactly SQL-mirrorable
+    "q86_mix_sample" -> ((s, d) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "web")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "books")
+            .otherwise("code").as("stratum"),
+          col("text"))
+        .as[(Long, String, String)]
+      graft.pipeline.Mix.sampleByStratum(docs,
+        Map("web" -> 0.5, "books" -> 0.9, "code" -> 0.1)).toDF()
+    }),
+
     // int8 ANN SEARCH path (the serve-time win of q73's storage cut):
     // top-k directly over (scale, codes) with the integer dot kernel —
     // no dequantized store anywhere in the plan. Emitted rows are
@@ -1950,6 +1978,41 @@ object SparkEntry {
          |    END AS recall,
          |  TRUE AS recall_ok
          |FROM m""".stripMargin,
+    // sequence-packing mirror: the scalable two-pass running sum must
+    // equal the straightforward SQL window cumsum, value-level per doc
+    "q85_seq_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM c)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(s AS BIGINT) AS tok_start,
+        |  CAST(CASE WHEN n = 0 THEN -1 ELSE s // 512 END AS BIGINT)
+        |    AS first_chunk,
+        |  CAST(CASE WHEN n = 0 THEN -1 ELSE (s + n - 1) // 512 END AS BIGINT)
+        |    AS last_chunk
+        |FROM r""".stripMargin,
+    // mix-sampling mirror: md5-prefix uniform re-derived digit-by-digit
+    // (strpos hex decode), exact double compare on both sides
+    "q86_mix_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+        |      ELSE 'code' END AS stratum,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substr(md5(text), 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (h, c) -> h * 16 + c) AS v
+        |  FROM documents)
+        |SELECT doc_id, stratum, v / 4294967296.0 AS u,
+        |  v / 4294967296.0 < (CASE stratum WHEN 'web' THEN 0.5
+        |    WHEN 'books' THEN 0.9 ELSE 0.1 END) AS kept
+        |FROM s""".stripMargin,
     // benchmark-decontamination mirror: FULL value-level (n_hits per
     // doc from raw string 13-grams; see decontamOracleBody)
     "q77_decontaminate" -> decontamOracleBody,

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.util.PyStr
+
+/** Sequence packing for training-data serving — the concat-and-chunk
+  * layout (GPT-style): documents are concatenated in doc_id order and
+  * split into fixed `chunkTokens` windows; each document maps to its
+  * half-open global token span [tok_start, tok_start + n_tokens) and
+  * the inclusive chunk range [first_chunk, last_chunk] it overlaps
+  * (−1/−1 for token-less documents, which occupy no span).
+  *
+  * The global running sum is computed SCALABLY, never through a
+  * global-order window (whose plan collapses the corpus into ONE
+  * task): documents are bucketed into contiguous doc_id ranges by
+  * ARITHMETIC (pid = (doc_id − min)·P / span — deterministic, no
+  * RangePartitioner sampling), per-partition token totals are a tiny
+  * P-row driver collect, and the cumulative partition offsets ride
+  * back as a broadcast for a single map pass. Two jobs total
+  * (min/max + totals) before the output pass; all of them scan only
+  * (doc_id, n_tokens) — never text.
+  *
+  * Token counts use the engine's standard whitespace tokenization
+  * (PyStr.split — mirrored by `regexp_extract_all(text, '\S+')`).
+  */
+object Pack {
+
+  def concatChunks(
+      docs: Dataset[(Long, String)],
+      chunkTokens: Int,
+      partitions: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val counted = docs
+      .map { case (id, text) => (id, PyStr.split(text).length.toLong) }
+      .toDF("doc_id", "n_tokens")
+
+    // deterministic contiguous range bucketing (no sampling): pid is a
+    // pure function of doc_id and the corpus [min, max]
+    val bounds = counted.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0)) return spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("n_tokens"),
+        lit(0L).as("tok_start"), lit(-1L).as("first_chunk"),
+        lit(-1L).as("last_chunk")).limit(0)
+    val lo = bounds.getLong(0)
+    val span = bounds.getLong(1) - lo + 1
+    val pidCol = ((col("doc_id") - lo) * parts / span).cast("int")
+
+    val bucketed = counted
+      .repartition(parts, pidCol)
+      .sortWithinPartitions("doc_id")
+      .select(col("doc_id"), col("n_tokens"), pidCol.as("pid"))
+
+    // per-bucket totals: P rows to the driver, cumulated in pid order
+    val totals = bucketed.groupBy("pid").agg(sum("n_tokens").as("tot"))
+      .as[(Int, Long)].collect().toMap
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    (0 until parts).foreach { p =>
+      offsets(p) = acc
+      acc += totals.getOrElse(p, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // several pids can hash into one physical partition; the doc_id
+    // sort keeps each pid's rows contiguous (pid is monotone in
+    // doc_id), so the running sum re-seeds from the broadcast offset
+    // at every pid boundary
+    bucketed.as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        var curPid = -1
+        var cum = 0L
+        it.map { case (id, n, pid) =>
+          if (pid != curPid) { curPid = pid; cum = bc.value(pid) }
+          val start = cum
+          cum += n
+          val first = if (n == 0L) -1L else start / chunkTokens
+          val last = if (n == 0L) -1L else (start + n - 1) / chunkTokens
+          (id, n, start, first, last)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "tok_start", "first_chunk", "last_chunk")
+  }
+}

@@ -408,6 +408,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 }, s"false pairs: $pairs")
   }
 
+  test("sequence packing matches the naive cumsum incl. empty docs and partition seams") {
+    import spark.implicits._
+    // doc lengths chosen so spans straddle chunk boundaries; ids sparse
+    // (range-bucket arithmetic must not assume dense ids); two empty docs
+    val docs = (0 until 200).map { i =>
+      val id = i.toLong * 7 + 3
+      val n = if (i % 31 == 0) 0 else (i * 13) % 97 + 1
+      (id, Seq.fill(n)("tok").mkString(" "))
+    }
+    val out = graft.pipeline.Pack
+      .concatChunks(docs.toDS(), chunkTokens = 64, partitions = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // naive ground truth
+    var cum = 0L
+    val expected = docs.sortBy(_._1).map { case (id, text) =>
+      val n = graft.util.PyStr.split(text).length.toLong
+      val start = cum; cum += n
+      val first = if (n == 0) -1L else start / 64
+      val last = if (n == 0) -1L else (start + n - 1) / 64
+      (id, n, start, first, last)
+    }
+    assert(out.toSeq == expected,
+      s"pack mismatch: ${out.toSeq.diff(expected).take(5)}")
+    // chunk-range sanity: consecutive non-empty docs tile the token line
+    val nonEmpty = expected.filter(_._2 > 0)
+    nonEmpty.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 + a._2 <= b._3)
+      case _ =>
+    }
+  }
+
+  test("mix sampling is deterministic, content-keyed, and rate-respecting") {
+    import spark.implicits._
+    import graft.pipeline.Mix
+    val docs = (0L until 3000L).map { i =>
+      val stratum = Seq("web", "books", "code")((i % 3).toInt)
+      (i, stratum, s"document body number $i with content ${i * 31}")
+    }.toDS()
+    val rates = Map("web" -> 0.5, "books" -> 0.9, "code" -> 0.1)
+    val a = Mix.sampleByStratum(docs, rates).collect().sortBy(_.doc_id)
+    val b = Mix.sampleByStratum(docs, rates).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq, "sampling not deterministic")
+    // per-stratum keep fraction within binomial noise of its rate
+    rates.foreach { case (st, r) =>
+      val grp = a.filter(_.stratum == st)
+      val frac = grp.count(_.kept).toDouble / grp.length
+      assert(math.abs(frac - r) < 0.05, f"$st: kept $frac%.3f vs rate $r")
+    }
+    // clone classes share one fate (content-keyed decision)
+    val clones = Seq((1L, "web", "same text"), (2L, "web", "same text")).toDS()
+    val cs = Mix.sampleByStratum(clones, rates).collect()
+    assert(cs.map(_.kept).distinct.length == 1 &&
+      cs.map(_.u).distinct.length == 1)
+    // rate 0 / 1 edges
+    val edge = Mix.sampleByStratum(docs, Map("web" -> 0.0, "books" -> 1.0,
+      "code" -> 0.0)).collect()
+    assert(edge.filter(_.stratum == "web").forall(!_.kept))
+    assert(edge.filter(_.stratum == "books").forall(_.kept))
+  }
+
   test("decontamination flags planted 13-gram overlap, both paths agree") {
     import spark.implicits._
     import graft.dedup.Decontaminate

@@ -214,6 +214,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "rewrite ran an eager job during plan construction (the old count() guard)")
   }
 
+  test("sequence packing never collapses to a single-partition exchange") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"tok tok tok doc $i")).toDS()
+    val out = graft.pipeline.Pack.concatChunks(docs, chunkTokens = 64,
+      partitions = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // the naive formulation (Window over ORDER BY doc_id with no
+    // partitioning) plans Exchange SinglePartition — the whole corpus
+    // through one task; the two-pass broadcast-offset design must not
+    assert(!plan.contains("SinglePartition"),
+      s"global running sum collapsed to one partition:\n$plan")
+    assert(!plan.contains("Window"),
+      s"pack plan unexpectedly contains a window:\n$plan")
+  }
+
   test("hinted auto-sizers build plans without running any job (q71/q42 shape)") {
     import spark.implicits._
     val sc = spark.sparkContext
