@@ -16,7 +16,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Output schema == `curateFull`'s: (doc_id, lang_pred, composite,
   * top_bigram_frac, dup_line_frac, verdict, kept) with the same
-  * contractual verdict order: lang, quality, repetition, duplicate,
+  * contractual verdict order: lang, quality, repetition,
+  * (contaminated, when a benchmark gram set is supplied), duplicate,
   * kept.
   *
   * State bound: one (hash → keeper id) entry per distinct PASSING
@@ -35,6 +36,7 @@ object StreamingCurate {
       composite: Double,
       top_bigram_frac: Double,
       dup_line_frac: Double,
+      clean: Boolean,
       passes: Boolean)
 
   final case class Verdict(
@@ -46,30 +48,44 @@ object StreamingCurate {
       verdict: String,
       kept: Boolean)
 
-  /** The streaming cascade over a DocIn stream. */
+  /** The streaming cascade over a DocIn stream. Pass `benchGrams` (a
+    * sorted 13-gram hash array from
+    * [[graft.dedup.Decontaminate.benchmarkGramArray]]) to add the
+    * decontamination stage — the signal rides the SAME map pass via
+    * broadcast, exactly like the batch
+    * [[graft.pipeline.Curate.curateDecontaminated]]; verdict order then
+    * matches that cascade (… repetition, contaminated, duplicate, kept).
+    */
   def verdicts(
       docs: Dataset[StreamingDedup.DocIn],
       lang: String = "en",
       minComposite: Double = 0.3,
       maxTopBigramFrac: Double = 0.08,
       maxDupLineFrac: Double = 0.3,
-      watermark: String = "1 hour"): Dataset[Verdict] = {
+      watermark: String = "1 hour",
+      benchGrams: Array[Long] = Array.emptyLongArray,
+      n: Int = 13): Dataset[Verdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchGrams)
     val scored = docs.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val grams = bc.value
       it.map { d =>
         val (lp, _) = graft.text.LangId.detect(d.text)
         val q = graft.text.Quality.score(d.text)
         val rep = graft.text.Repetition.signals(d.text)
+        val clean = grams.isEmpty ||
+          !graft.dedup.Decontaminate.gramHashes(d.text, n).exists(g =>
+            java.util.Arrays.binarySearch(grams, g) >= 0)
         md.reset()
         val h = java.util.Base64.getEncoder.encodeToString(
           md.digest(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         Scored(h, d.ts, d.doc_id, lp, q.composite,
-          rep.top_bigram_frac, rep.dup_line_frac,
+          rep.top_bigram_frac, rep.dup_line_frac, clean,
           lp == lang && q.composite >= minComposite &&
             rep.top_bigram_frac <= maxTopBigramFrac &&
-            rep.dup_line_frac <= maxDupLineFrac)
+            rep.dup_line_frac <= maxDupLineFrac && clean)
       }
     }
     scored
@@ -93,6 +109,7 @@ object StreamingCurate {
                 else if (r.composite < minComposite) "quality"
                 else if (r.top_bigram_frac > maxTopBigramFrac ||
                   r.dup_line_frac > maxDupLineFrac) "repetition"
+                else if (!r.clean) "contaminated"
                 else if (keeper >= 0L && keeper != r.doc_id) "duplicate"
                 else { keeper = r.doc_id; "kept" }
               if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
@@ -121,13 +138,15 @@ object StreamingCurate {
       lang: String = "en",
       minComposite: Double = 0.3,
       checkpoint: Option[String] = None,
-      watermark: String = "1 hour"): Unit = {
+      watermark: String = "1 hour",
+      benchGrams: Array[Long] = Array.emptyLongArray): Unit = {
     import spark.implicits._
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     val docs = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[StreamingDedup.DocIn].schema)
       .parquet(dir).as[StreamingDedup.DocIn]
-    val writer = verdicts(docs, lang, minComposite, watermark = watermark)
+    val writer = verdicts(docs, lang, minComposite, watermark = watermark,
+        benchGrams = benchGrams)
       .writeStream
       .queryName(name)
       .foreachBatch { (batch: Dataset[Verdict], batchId: Long) =>

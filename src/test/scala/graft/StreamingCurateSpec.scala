@@ -51,6 +51,32 @@ class StreamingCurateSpec extends AnyFunSuite {
       verdicts(5L) == "repetition")
   }
 
+  test("streaming cascade with benchmark grams == batch curateDecontaminated") {
+    import spark.implicits._
+    val secret = (1 to 20).map(i => s"benchword$i").mkString(" ")
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks along the river bank for a while at dusk in the calm evening"
+    val all = corpus ++ Seq((7L, s"$good extended with $secret inside"))
+    val grams = graft.dedup.Decontaminate.benchmarkGramArray(
+      Seq(secret).toDS(), 13)
+    val dir = java.nio.file.Files.createTempDirectory("stream_decon").toString
+    all.map { case (id, text) =>
+      graft.streaming.StreamingDedup.DocIn(
+        id, new java.sql.Timestamp(1600000000000L + id * 1000L), text)
+    }.toDS().toDF().coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    graft.streaming.StreamingCurate.run(
+      spark, s"$dir/in", "sc_decon", s"$dir/out", benchGrams = grams)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "verdict", "kept")
+      .as[(Long, String, Boolean)].collect().toSet
+    val batch = graft.pipeline.Curate.curateDecontaminated(all.toDS(), grams)
+      .select("doc_id", "verdict", "kept")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(streamed == batch,
+      s"divergence:\n only stream: ${streamed -- batch}\n only batch: ${batch -- streamed}")
+    assert(streamed.exists(r => r._1 == 7L && r._2 == "contaminated"))
+  }
+
   test("streaming curation keeper state survives a checkpointed restart") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream_curate_ckpt").toString
