@@ -652,6 +652,40 @@ object SparkEntry {
         "top_bigram_frac", "dup_line_frac", "verdict", "kept")
     }),
 
+    // Unicode NFC normalization + control strip (C4-style mojibake
+    // cleanup). Decomposed accents and a control char are PLANTED per
+    // doc (identical concat on both sides) so the value-level oracle
+    // has real work to check
+    "q87_nfc_normalize" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"),
+          concat(col("text"), lit(" cafe\u0301 nai\u0308ve\u0007"),
+            (col("doc_id") % 7).cast("string")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val c = graft.text.Normalize.clean(text)
+          (id, c != text, c)
+        }
+        .toDF("doc_id", "changed", "clean")
+        .select(col("doc_id"), col("changed"), md5(col("clean")).as("clean_md5"))
+    }),
+    // cross-document line-level boilerplate removal (the Dolma/CCNet
+    // paragraph-dedup shape): a shared footer line is planted in every
+    // doc plus a per-doc unique line — drops must be real AND partial
+    "q88_line_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit("\nSHARED FOOTER COOKIE BANNER\nunique line "),
+            col("doc_id").cast("string")).as("text"))
+        .as[(Long, String)]
+      graft.dedup.LineDedup.dropBoilerplate(docs, minDocs = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+          md5(col("clean")).as("clean_md5"))
+    }),
+
     // sequence packing (concat-and-chunk, the GPT training layout):
     // global token spans + chunk ranges per doc via the SCALABLE
     // running sum (arithmetic range buckets + broadcast offsets — no
@@ -1978,6 +2012,49 @@ object SparkEntry {
          |    END AS recall,
          |  TRUE AS recall_ok
          |FROM m""".stripMargin,
+    // NFC + control-strip mirror: same planting, nfc_normalize + the
+    // identical RE2 class, order contractual (Normalize.scala)
+    "q87_nfc_normalize" -> {
+      val cr = graft.text.Normalize.ControlRe
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+         |      || chr(7) || CAST(doc_id % 7 AS VARCHAR) AS t
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, t,
+         |    regexp_replace(nfc_normalize(t), '$cr', '', 'g') AS clean
+         |  FROM t0)
+         |SELECT doc_id, clean <> t AS changed, md5(clean) AS clean_md5
+         |FROM n""".stripMargin
+    },
+    // line-dedup mirror: explode lines with ordinality, hot keys =
+    // trimmed non-empty lines in >=2 distinct docs, rebuild the cleaned
+    // text with ordered string_agg; the trim key uses the RE2
+    // equivalent of Java String.trim (codepoints <= U+0020)
+    "q88_line_dedup" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, text || chr(10) || 'SHARED FOOTER COOKIE BANNER'
+        |    || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i, ls[i] AS ln,
+        |    regexp_replace(ls[i], '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')
+        |      AS key
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM t0),
+        |    UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        |hot AS (
+        |  SELECT key FROM (SELECT DISTINCT doc_id, key FROM l WHERE key <> '')
+        |  GROUP BY key HAVING count(*) >= 2),
+        |k AS (SELECT doc_id, i, ln FROM l
+        |      WHERE key NOT IN (SELECT key FROM hot)),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(ln, chr(10) ORDER BY i) AS clean FROM k GROUP BY doc_id),
+        |la AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT la.doc_id, CAST(la.n_lines AS BIGINT) AS n_lines,
+        |  CAST(la.n_lines - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(ka.clean, '')) AS clean_md5
+        |FROM la LEFT JOIN ka USING (doc_id)""".stripMargin,
     // sequence-packing mirror: the scalable two-pass running sum must
     // equal the straightforward SQL window cumsum, value-level per doc
     "q85_seq_pack" ->

@@ -408,6 +408,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 }, s"false pairs: $pairs")
   }
 
+  test("NFC normalize composes accents, strips controls, keeps tab/newline") {
+    import graft.text.Normalize
+    val decomposed = "cafe\u0301 nai\u0308ve" // combining marks
+    val composed = "caf\u00e9 na\u00efve" // precomposed
+    assert(decomposed != composed)
+    assert(Normalize.clean(decomposed) == composed)
+    // tab and newline are content structure and survive; \r and BEL fold away
+    assert(Normalize.clean("a\tb\nc\rd\u0007e") == "a\tb\ncde")
+    // already-clean text is unchanged (idempotence)
+    assert(Normalize.clean(composed) == composed)
+  }
+
+  test("line dedup drops cross-doc boilerplate, keeps unique and blank lines") {
+    import spark.implicits._
+    val footer = "  COOKIE BANNER  "
+    val docs = Seq(
+      (1L, s"alpha one\n$footer\n\nbody of doc one"),
+      (2L, s"beta two\n$footer\nbody of doc two"),
+      (3L, "gamma three\nno shared content here")).toDS()
+    val out = graft.dedup.LineDedup.dropBoilerplate(docs, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // the footer (trim-keyed, so differing edge whitespace still
+    // matches) is dropped from both docs; blank line survives
+    assert(out(1L) == ((1L, 4L, 1L, "alpha one\n\nbody of doc one")))
+    assert(out(2L) == ((2L, 3L, 1L, "beta two\nbody of doc two")))
+    assert(out(3L) == ((3L, 2L, 0L, "gamma three\nno shared content here")))
+    // a doc that is ALL boilerplate ends up empty, not missing
+    val docs2 = Seq((1L, "same"), (2L, "same"), (3L, "same")).toDS()
+    val all = graft.dedup.LineDedup.dropBoilerplate(docs2, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(all.forall(r => r._2 == 1L && r._3 == 1L && r._4 == ""))
+  }
+
   test("sequence packing matches the naive cumsum incl. empty docs and partition seams") {
     import spark.implicits._
     // doc lengths chosen so spans straddle chunk boundaries; ids sparse
