@@ -714,6 +714,33 @@ object SparkEntry {
         Map("web" -> 0.5, "books" -> 0.9, "code" -> 0.1)).toDF()
     }),
 
+    // the whole training-data story in ONE deterministic DAG:
+    // curate (full cascade) → mix (stratified content-hash sampling)
+    // → pack (concat-and-chunk). Every stage is individually oracled
+    // (q76/q86/q85); this composes their mirrors into one oracle, so
+    // the HAND-OFFS between stages are gated too
+    "q89_train_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(d, "documents"))
+        .select("doc_id", "text").as[(Long, String)]
+      val keptIds = graft.pipeline.Curate.curateFull(docs)
+        .filter(col("kept")).select("doc_id")
+      val kept = docs.toDF("doc_id", "text").join(keptIds, "doc_id")
+      val strat = kept
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "web")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "books")
+            .otherwise("code").as("stratum"),
+          col("text"))
+        .as[(Long, String, String)]
+      val sampledIds = graft.pipeline.Mix.sampleByStratum(strat,
+          Map("web" -> 0.5, "books" -> 0.9, "code" -> 0.1))
+        .filter(_.kept).toDF().select("doc_id")
+      val sampled = kept.join(sampledIds, "doc_id")
+        .select("doc_id", "text").as[(Long, String)]
+      graft.pipeline.Pack.concatChunks(sampled, chunkTokens = 512)
+    }),
+
     // int8 ANN SEARCH path (the serve-time win of q73's storage cut):
     // top-k directly over (scale, codes) with the integer dot kernel —
     // no dequantized store anywhere in the plan. Emitted rows are
@@ -2012,6 +2039,58 @@ object SparkEntry {
          |    END AS recall,
          |  TRUE AS recall_ok
          |FROM m""".stripMargin,
+    // end-to-end pipeline mirror: the q76 keeper logic, the q86
+    // sampling decode, and the q85 cumsum composed as one CTE chain —
+    // the stage hand-offs (which docs survive into packing) are the
+    // thing this gate adds over the per-stage oracles
+    "q89_train_pipeline" ->
+      s"""WITH li AS ($langIdOracleBody),
+         |ql AS ($qualityOracleBody),
+         |rp AS ($repetitionOracleBody),
+         |sc AS (
+         |  SELECT d.doc_id, li.lang_pred, ql.composite,
+         |    rp.top_bigram_frac, rp.dup_line_frac, md5(d.text) AS h
+         |  FROM documents d JOIN li USING (doc_id) JOIN ql USING (doc_id)
+         |    JOIN rp USING (doc_id)),
+         |k AS (
+         |  SELECT h, min(doc_id) AS keeper FROM sc
+         |  WHERE lang_pred = 'en' AND composite >= 0.3
+         |    AND top_bigram_frac <= 0.08 AND dup_line_frac <= 0.3
+         |  GROUP BY h)
+         |, kept AS (
+         |  SELECT sc.doc_id FROM sc LEFT JOIN k USING (h)
+         |  WHERE sc.lang_pred = 'en' AND sc.composite >= 0.3
+         |    AND sc.top_bigram_frac <= 0.08 AND sc.dup_line_frac <= 0.3
+         |    AND sc.doc_id = k.keeper),
+         |mx AS (
+         |  SELECT d.doc_id,
+         |    CASE d.doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+         |      ELSE 'code' END AS stratum,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(substr(md5(d.text), 1, 8), ''),
+         |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+         |      (h, c) -> h * 16 + c) AS v
+         |  FROM documents d JOIN kept USING (doc_id)),
+         |samp AS (
+         |  SELECT doc_id FROM mx
+         |  WHERE v / 4294967296.0 < (CASE stratum WHEN 'web' THEN 0.5
+         |    WHEN 'books' THEN 0.9 ELSE 0.1 END)),
+         |c AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n
+         |  FROM documents d JOIN samp USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, n,
+         |    coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+         |  FROM c)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(s AS BIGINT) AS tok_start,
+         |  CAST(CASE WHEN n = 0 THEN -1 ELSE s // 512 END AS BIGINT)
+         |    AS first_chunk,
+         |  CAST(CASE WHEN n = 0 THEN -1 ELSE (s + n - 1) // 512 END AS BIGINT)
+         |    AS last_chunk
+         |FROM r""".stripMargin,
     // NFC + control-strip mirror: same planting, nfc_normalize + the
     // identical RE2 class, order contractual (Normalize.scala)
     "q87_nfc_normalize" -> {
