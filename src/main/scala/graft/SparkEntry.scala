@@ -1037,10 +1037,11 @@ object SparkEntry {
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val sg = graft.text.Repetition.signals(text)
-          (id, sg.n_words, sg.top_word_frac, sg.top_bigram_frac, sg.dup_line_frac)
+          (id, sg.n_words, sg.top_word_frac, sg.top_bigram_frac,
+            sg.dup_line_frac, sg.dup_10gram_frac)
         }
         .toDF("doc_id", "n_words", "top_word_frac", "top_bigram_frac",
-          "dup_line_frac")
+          "dup_line_frac", "dup_10gram_frac")
     }),
 
     // PII redaction (the C4/Dolma-style curation scrub): emails → IPs →
@@ -1572,7 +1573,16 @@ object SparkEntry {
       |ug AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
       |  i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
       |gf AS (SELECT doc_id, max(c) AS maxg, sum(c) AS ng FROM (
-      |  SELECT doc_id, gram, count(*) AS c FROM ug GROUP BY 1, 2) GROUP BY 1)
+      |  SELECT doc_id, gram, count(*) AS c FROM ug GROUP BY 1, 2) GROUP BY 1),
+      |tgl AS (SELECT doc_id,
+      |  CASE WHEN len(ws) < 10 THEN [] ELSE list_transform(
+      |    range(1, len(ws) - 8),
+      |    i -> array_to_string(list_slice(ws, i, i + 9), ' ')) END AS tg
+      |  FROM w),
+      |tf AS (SELECT doc_id,
+      |  floor((1 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg))
+      |    * 10000 + 0.5) / 10000 AS dup10
+      |  FROM tgl WHERE len(tg) > 0)
       |SELECT w.doc_id,
       |  CAST(len(w.ws) AS INT) AS n_words,
       |  floor(coalesce(CAST(wf.maxw AS DOUBLE) / wf.nw, 0) * 10000 + 0.5) / 10000
@@ -1580,10 +1590,12 @@ object SparkEntry {
       |  floor(coalesce(CAST(gf.maxg AS DOUBLE) / gf.ng, 0) * 10000 + 0.5) / 10000
       |    AS top_bigram_frac,
       |  floor((1 - CAST(len(list_distinct(w.ls)) AS DOUBLE) / len(w.ls))
-      |    * 10000 + 0.5) / 10000 AS dup_line_frac
+      |    * 10000 + 0.5) / 10000 AS dup_line_frac,
+      |  coalesce(tf.dup10, 0.0) AS dup_10gram_frac
       |FROM w
       |LEFT JOIN wf ON w.doc_id = wf.doc_id
-      |LEFT JOIN gf ON gf.doc_id = w.doc_id""".stripMargin
+      |LEFT JOIN gf ON gf.doc_id = w.doc_id
+      |LEFT JOIN tf ON tf.doc_id = w.doc_id""".stripMargin
 
   /** q77's oracle as a reusable body (q78 composes it as a CTE): the
     * benchmark rule (first 40 tokens of every 17th doc) re-derived in

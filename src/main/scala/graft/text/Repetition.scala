@@ -10,6 +10,12 @@ import graft.util.PyStr
   *  - top_word_frac: occurrences of the most frequent word / total words
   *  - top_bigram_frac: same over word 2-grams
   *  - dup_line_frac: 1 − distinct lines / total lines
+  *  - dup_10gram_frac: 1 − distinct word-10-grams / total word-10-grams
+  *    (the occurrence-count variant of Gopher's duplicated-n-gram
+  *    signal; Gopher's original measures the fraction of CHARACTERS
+  *    covered by duplicated n-grams — an overlapping-span union that
+  *    is not cleanly SQL-mirrorable, so the count form is used and the
+  *    difference is contractual)
   *
   * Tokenization matches the rest of the text stack (Python-style
   * whitespace split of the lowercased text; the SQL mirror's RE2
@@ -26,7 +32,8 @@ object Repetition {
       n_words: Int,
       top_word_frac: Double,
       top_bigram_frac: Double,
-      dup_line_frac: Double)
+      dup_line_frac: Double,
+      dup_10gram_frac: Double)
 
   private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
 
@@ -45,6 +52,13 @@ object Repetition {
     // split("\n", -1) always yields >= 1 element, so the division is safe
     val lines = text.split("\n", -1)
     val dupLine = 1.0 - lines.distinct.length.toDouble / lines.length
-    Signals(ws.length, r4(topFrac(ws.iterator)), r4(topFrac(bigrams)), r4(dupLine))
+    val dupTen =
+      if (ws.length < 10) 0.0
+      else {
+        val grams = ws.sliding(10).map(_.mkString(" ")).toVector
+        1.0 - grams.distinct.length.toDouble / grams.length
+      }
+    Signals(ws.length, r4(topFrac(ws.iterator)), r4(topFrac(bigrams)),
+      r4(dupLine), r4(dupTen))
   }
 }

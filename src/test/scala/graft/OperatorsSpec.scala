@@ -720,8 +720,15 @@ class OperatorsSpec extends AnyFunSuite {
     val s2 = Repetition.signals("a\nb\na\na")
     assert(s2.dup_line_frac == 0.5) // 4 lines, 2 distinct
     // degenerate inputs
-    assert(Repetition.signals("") == Repetition.Signals(0, 0.0, 0.0, 0.0))
+    assert(Repetition.signals("") == Repetition.Signals(0, 0.0, 0.0, 0.0, 0.0))
     assert(Repetition.signals("word").top_bigram_frac == 0.0)
+    // duplicate 10-grams (occurrence-count variant): an 11-word text of
+    // one repeated word has 2 identical 10-grams -> 1 - 1/2 = 0.5;
+    // under 10 words -> no grams -> 0.0
+    assert(Repetition.signals(Seq.fill(11)("w").mkString(" ")).dup_10gram_frac == 0.5)
+    assert(Repetition.signals(Seq.fill(9)("w").mkString(" ")).dup_10gram_frac == 0.0)
+    val distinct10 = (1 to 20).map(i => s"w$i").mkString(" ")
+    assert(Repetition.signals(distinct10).dup_10gram_frac == 0.0)
   }
 
   test("PII redaction: typed masks, ordered application, counts per kind") {
