@@ -714,6 +714,24 @@ object SparkEntry {
         Map("web" -> 0.5, "books" -> 0.9, "code" -> 0.1)).toDF()
     }),
 
+    // canonical URL normalization (the crawl-side canonicalization:
+    // re-crawls and mirrors collapse before url-keyed dedup/upsert).
+    // Messy url variants are PLANTED per doc_id — upper-case host,
+    // default port, utm params, unsorted query, fragment — identically
+    // on both sides; the oracle runs the same regex + steps in SQL
+    "q90_url_canon" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"),
+          concat(lit("HTTP://ExAmple-"), (col("doc_id") % 5).cast("string"),
+            lit(".CoM:80/Path/"), col("doc_id").cast("string"),
+            lit("?utm_source=feed&b="), (col("doc_id") % 7).cast("string"),
+            lit("&a=1#sec")).as("url"))
+        .as[(Long, String)]
+        .map { case (id, url) => (id, url, graft.canon.UrlNorm.canonical(url)) }
+        .toDF("doc_id", "url", "canon")
+    }),
+
     // the whole training-data story in ONE deterministic DAG:
     // curate (full cascade) → mix (stratified content-hash sampling)
     // → pack (concat-and-chunk). Every stage is individually oracled
@@ -2051,6 +2069,46 @@ object SparkEntry {
          |    END AS recall,
          |  TRUE AS recall_ok
          |FROM m""".stripMargin,
+    // URL-canonicalization mirror: the IDENTICAL regex (UrlNorm
+    // exposes the Java/RE2-shared string) + the same six contractual
+    // steps run in SQL over the same planted urls
+    "q90_url_canon" -> {
+      val re = graft.canon.UrlNorm.UrlReStr
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    'HTTP://ExAmple-' || CAST(doc_id % 5 AS VARCHAR)
+         |      || '.CoM:80/Path/' || CAST(doc_id AS VARCHAR)
+         |      || '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '&a=1#sec' AS url
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, url,
+         |    regexp_matches(url, '$re') AS ok,
+         |    lower(regexp_extract(url, '$re', 1)) AS scheme,
+         |    lower(regexp_extract(url, '$re', 2)) AS host,
+         |    regexp_extract(url, '$re', 3) AS port,
+         |    regexp_extract(url, '$re', 4) AS path,
+         |    regexp_extract(url, '$re', 5) AS query
+         |  FROM t0),
+         |n AS (
+         |  SELECT doc_id, url, ok, scheme, host,
+         |    CASE WHEN (scheme = 'http' AND port = ':80')
+         |           OR (scheme = 'https' AND port = ':443') THEN ''
+         |         ELSE port END AS port2,
+         |    CASE WHEN path = '' THEN '/' ELSE path END AS path2,
+         |    list_sort(list_filter(
+         |      string_split(CASE WHEN query = '' THEN ''
+         |        ELSE substr(query, 2) END, '&'),
+         |      x -> x <> '' AND NOT starts_with(lower(x), 'utm_'))) AS ps
+         |  FROM p)
+         |SELECT doc_id, url,
+         |  CASE WHEN NOT ok THEN url
+         |    ELSE scheme || '://' || host || port2 || path2 ||
+         |      (CASE WHEN len(ps) = 0 THEN ''
+         |            ELSE '?' || array_to_string(ps, '&') END)
+         |    END AS canon
+         |FROM n""".stripMargin
+    },
     // end-to-end pipeline mirror: the q76 keeper logic, the q86
     // sampling decode, and the q85 cumsum composed as one CTE chain —
     // the stage hand-offs (which docs survive into packing) are the

@@ -408,6 +408,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 }, s"false pairs: $pairs")
   }
 
+  test("URL canonicalization: ports, fragments, utm params, sorting, passthrough") {
+    import graft.canon.UrlNorm.canonical
+    assert(canonical("HTTP://ExAmple.COM:80/Path?utm_source=x&b=2&a=1#frag")
+      == "http://example.com/Path?a=1&b=2")
+    assert(canonical("https://Host.org:443/") == "https://host.org/")
+    // non-default port survives; https keeps :80
+    assert(canonical("https://h.org:80/x") == "https://h.org:80/x")
+    assert(canonical("http://h.org:8080/x") == "http://h.org:8080/x")
+    // empty path -> "/"; all-utm query drops its '?'
+    assert(canonical("http://h.org?utm_medium=a&UTM_source=b") == "http://h.org/")
+    // no scheme/shape -> unchanged (garbage passthrough)
+    assert(canonical("not a url at all") == "not a url at all")
+    assert(canonical("mailto:x@y.z") == "mailto:x@y.z")
+    // idempotence
+    val c = canonical("HTTP://A.B:80/p?z=1&a=2#f")
+    assert(canonical(c) == c)
+  }
+
   test("NFC normalize composes accents, strips controls, keeps tab/newline") {
     import graft.text.Normalize
     val decomposed = "cafe\u0301 nai\u0308ve" // combining marks
