@@ -214,6 +214,17 @@ class PlanQualitySpec extends AnyFunSuite {
       "rewrite ran an eager job during plan construction (the old count() guard)")
   }
 
+  test("decontamination broadcast path is a pure map: zero exchanges") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"doc $i " + (1 to 20)
+      .map(j => s"tok$i$j").mkString(" "))).toDS()
+    val grams = Array(1L, 2L, 3L)
+    val plan = graft.dedup.Decontaminate.overlapBroadcast(docs, grams, 13)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"broadcast decontamination path shuffled:\n$plan")
+  }
+
   test("sequence packing never collapses to a single-partition exchange") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"tok tok tok doc $i")).toDS()
