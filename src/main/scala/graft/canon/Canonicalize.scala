@@ -133,7 +133,8 @@ object Canonicalize {
       checkpointDir: Option[String] = None,
       convergeEvery: Int = 2): DataFrame =
     connectedComponents(edges, maxIter, checkpointDir, convergeEvery,
-      encodeMinEdges = 1000000L, encodeMinBytesPerName = 16.0)
+      encodeMinEdges = 1000000L, encodeMinBytesPerName = 16.0,
+      localMaxEdges = 100000L)
 
   /** DEFLATE-compressed bytes per node name over a bounded driver-side
     * sample — the shuffle-cost proxy the encode decision needs. Shuffle
@@ -183,6 +184,14 @@ object Canonicalize {
     *   exceeds this — names that deflate below ~2× the 8-byte id cost
     *   the string path less than the encode machinery's fixed stages.
     *   0.0 forces the encode path regardless of entropy (benches/specs).
+    * @param localMaxEdges graphs whose bidirected edge list fits under
+    *   this bound are solved by a DRIVER-LOCAL union-find instead of
+    *   the iterative machinery (the production hybrid: ~6 fixed Spark
+    *   stages per round dominate tiny graphs — q32's few-hundred-edge
+    *   graph spent 3.8 s on round latency). Bounded memory:
+    *   localMaxEdges edges ≈ tens of MB of strings on the driver.
+    *   Identical results (min-string representative, deterministic);
+    *   0 forces the distributed path (benches/plan specs).
     */
   def connectedComponents(
       edges: DataFrame,
@@ -190,7 +199,8 @@ object Canonicalize {
       checkpointDir: Option[String],
       convergeEvery: Int,
       encodeMinEdges: Long,
-      encodeMinBytesPerName: Double): DataFrame = {
+      encodeMinBytesPerName: Double,
+      localMaxEdges: Long): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
@@ -288,9 +298,12 @@ object Canonicalize {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
 
+    val nBidir = bidirStr.count()
+    if (nBidir <= localMaxEdges) return localUnionFind(edges.sparkSession, bidirStr)
+
     // the entropy probe only runs once the edge threshold is reached —
     // small graphs take the string path with zero extra work
-    if (bidirStr.count() < encodeMinEdges ||
+    if (nBidir < encodeMinEdges ||
         sampledBytesPerName(bidirStr) < encodeMinBytesPerName) {
       // small graph OR compressible names: string labels directly
       // (min-string == the contract; lz4'd string shuffles are cheap)
@@ -308,6 +321,55 @@ object Canonicalize {
           "component")
         .select(col("node_str").as("node"), col("comp_str").as("component"))
     }
+  }
+
+  /** Driver-local connected components for BOUNDED small graphs:
+    * union-find with path halving + union by size over the collected
+    * bidirected edge list, then per-root lexicographic-min node as the
+    * representative — the exact contract of the distributed loop
+    * (OperatorsSpec asserts equality on shared inputs). The result
+    * returns as a parallelized DataFrame so downstream joins behave
+    * like any other (node, component) table.
+    */
+  private def localUnionFind(
+      spark: org.apache.spark.sql.SparkSession,
+      bidir: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = bidir.select("src", "dst").as[(String, String)].collect()
+    val idOf = new java.util.HashMap[String, Integer]()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def id(n: String): Int = {
+      val cur = idOf.get(n)
+      if (cur != null) cur.intValue
+      else { val i = names.length; idOf.put(n, i); names += n; i }
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val size = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def ensure(i: Int): Unit =
+      while (parent.length <= i) { parent += parent.length; size += 1 }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ia = id(a); val ib = id(b)
+      ensure(math.max(ia, ib))
+      val ra = find(ia); val rb = find(ib)
+      if (ra != rb) {
+        if (size(ra) >= size(rb)) { parent(rb) = ra; size(ra) += size(rb) }
+        else { parent(ra) = rb; size(rb) += size(ra) }
+      }
+    }
+    ensure(names.length - 1)
+    val minName = new java.util.HashMap[Int, String]()
+    names.indices.foreach { i =>
+      val r = find(i)
+      val cur = minName.get(r)
+      if (cur == null || names(i) < cur) minName.put(r, names(i))
+    }
+    val rows = names.indices.map(i => (names(i), minName.get(find(i))))
+    spark.createDataset(rows).toDF("node", "component")
   }
 
   /** Rewrite triple subj/obj URIs to their component representative.

@@ -92,7 +92,8 @@ object CcScaleBench {
       // AUTO decision is reported separately below
       val cc = Canonicalize.connectedComponents(edges, maxIter = 30,
         checkpointDir = Some(s"$ckptRoot/$label"), convergeEvery = 2,
-        encodeMinEdges = encodeMin, encodeMinBytesPerName = 0.0)
+        encodeMinEdges = encodeMin, encodeMinBytesPerName = 0.0,
+        localMaxEdges = 0L)
       val joinBacks = cc.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }.size

@@ -46,11 +46,22 @@ class OperatorsSpec extends AnyFunSuite {
     val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"))
       .toDF("src", "dst")
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
-    val local = Canonicalize.connectedComponents(edges)
+    // localMaxEdges = 0 forces the ITERATIVE machinery (a graph this
+    // small otherwise takes the driver-local union-find fast path)
+    val local = Canonicalize.connectedComponents(edges, 20, None, 2,
+        encodeMinEdges = 1000000L, encodeMinBytesPerName = 16.0,
+        localMaxEdges = 0L)
       .as[(String, String)].collect().toSet
-    val reliable = Canonicalize.connectedComponents(edges, checkpointDir = Some(dir))
+    val reliable = Canonicalize.connectedComponents(edges, 20, Some(dir), 2,
+        encodeMinEdges = 1000000L, encodeMinBytesPerName = 16.0,
+        localMaxEdges = 0L)
       .as[(String, String)].collect().toSet
     assert(reliable == local)
+    // ... and the driver-local union-find fast path (the default for
+    // bounded graphs) agrees exactly with the iterative result
+    val viaLocal = Canonicalize.connectedComponents(edges)
+      .as[(String, String)].collect().toSet
+    assert(viaLocal == local, "local union-find diverged from iterative CC")
     // the reliable path actually wrote checkpoint data
     assert(new java.io.File(dir).listFiles().nonEmpty)
     // ... and per-round GC kept only the LIVE snapshots: ownership
@@ -282,8 +293,12 @@ class OperatorsSpec extends AnyFunSuite {
   test("connected components throws instead of returning unconverged labels") {
     import spark.implicits._
     val chain = Seq.tabulate(40)(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    // the convergence contract belongs to the ITERATIVE machinery —
+    // force it (the driver-local fast path always converges)
     intercept[IllegalStateException] {
-      Canonicalize.connectedComponents(chain, maxIter = 2)
+      Canonicalize.connectedComponents(chain, 2, None, 2,
+        encodeMinEdges = 1000000L, encodeMinBytesPerName = 16.0,
+        localMaxEdges = 0L)
     }
     // pointer jumping converges the 41-node chain well inside the cap
     val cc = Canonicalize.connectedComponents(chain)

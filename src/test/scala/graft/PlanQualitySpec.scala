@@ -131,7 +131,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // change the contract
     val cc = graft.canon.Canonicalize
       .connectedComponents(edges, 20, None, 2, encodeMinEdges = 0L,
-        encodeMinBytesPerName = 0.0)
+        encodeMinBytesPerName = 0.0, localMaxEdges = 0L)
       .as[(String, String)].collect().toMap
     assert(cc.values.toSet == Set("b10"), s"wrong representative: $cc")
     // and the small-graph string path agrees exactly
@@ -155,7 +155,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(bpnC < 16.0, s"compressible sample unexpectedly large: $bpnC B/name")
     val ccC = graft.canon.Canonicalize
       .connectedComponents(compressible, 20, None, 2, encodeMinEdges = 0L,
-        encodeMinBytesPerName = 16.0)
+        encodeMinBytesPerName = 16.0, localMaxEdges = 0L)
     assert(joinBacks(ccC) == 0,
       "compressible names took the encode path (2 dict join-backs expected absent)")
     // md5-suffixed names (the crawled-URI shape) stay above the gate and
@@ -169,7 +169,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(bpnE >= 16.0, s"entropic sample unexpectedly small: $bpnE B/name")
     val ccE = graft.canon.Canonicalize
       .connectedComponents(entropic, 20, None, 2, encodeMinEdges = 0L,
-        encodeMinBytesPerName = 16.0)
+        encodeMinBytesPerName = 16.0, localMaxEdges = 0L)
     assert(joinBacks(ccE) == 2,
       s"entropic names skipped the encode path (${joinBacks(ccE)} join-backs)")
     // hub-skew bias: ONE head entity on the src side of every edge must
@@ -186,7 +186,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val vC = ccC.as[(String, String)].collect().toMap
     val vCForced = graft.canon.Canonicalize
       .connectedComponents(compressible, 20, None, 2, encodeMinEdges = 0L,
-        encodeMinBytesPerName = 0.0)
+        encodeMinBytesPerName = 0.0, localMaxEdges = 0L)
       .as[(String, String)].collect().toMap
     assert(vC == vCForced, "string and encode paths disagree on components")
   }
