@@ -2161,8 +2161,9 @@ object SparkEntry {
          |  CAST(CASE WHEN n = 0 THEN -1 ELSE (s + n - 1) // 512 END AS BIGINT)
          |    AS last_chunk
          |FROM r""".stripMargin,
-    // NFC + control-strip mirror: same planting, nfc_normalize + the
-    // identical RE2 class, order contractual (Normalize.scala)
+    // control-strip + NFC mirror: same planting, the identical RE2
+    // class then nfc_normalize — strip-FIRST order contractual
+    // (Normalize.scala: idempotence)
     "q87_nfc_normalize" -> {
       val cr = graft.text.Normalize.ControlRe
       s"""WITH t0 AS (
@@ -2172,7 +2173,7 @@ object SparkEntry {
          |  FROM documents),
          |n AS (
          |  SELECT doc_id, t,
-         |    regexp_replace(nfc_normalize(t), '$cr', '', 'g') AS clean
+         |    nfc_normalize(regexp_replace(t, '$cr', '', 'g')) AS clean
          |  FROM t0)
          |SELECT doc_id, clean <> t AS changed, md5(clean) AS clean_md5
          |FROM n""".stripMargin

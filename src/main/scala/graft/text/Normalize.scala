@@ -1,13 +1,15 @@
 package graft.text
 
 /** Unicode normalization for curation (the C4-style mojibake/control
-  * cleanup): NFC composition (decomposed accents, compatibility
-  * sequences from sloppy extractors) followed by removal of C0 control
-  * characters EXCEPT tab and newline — the class
-  * `[\x00-\x08\x0B-\x1F\x7F]`, which also folds CRLF to LF (\r is
-  * \x0D). Order is contractual (normalize, then strip) and both steps
-  * are mirrored verbatim in the q87 oracle (`nfc_normalize` +
-  * the same RE2 class).
+  * cleanup): removal of C0 control characters EXCEPT tab and newline —
+  * the class `[\x00-\x08\x0B-\x1F\x7F]`, which also folds CRLF to LF
+  * (\r is \x0D) — followed by NFC composition (decomposed accents,
+  * compatibility sequences from sloppy extractors). Order is
+  * contractual and strip-FIRST on purpose: a stray control byte
+  * between a base character and its combining mark would otherwise
+  * block composition, leaving non-NFC output and breaking idempotence
+  * (clean∘clean ≡ clean is property-tested). Both steps are mirrored
+  * verbatim in the q87 oracle (the same RE2 class + `nfc_normalize`).
   */
 object Normalize {
 
@@ -15,9 +17,8 @@ object Normalize {
 
   private val control = java.util.regex.Pattern.compile(ControlRe)
 
-  def clean(text: String): String = {
-    val n = java.text.Normalizer.normalize(
-      text, java.text.Normalizer.Form.NFC)
-    control.matcher(n).replaceAll("")
-  }
+  def clean(text: String): String =
+    java.text.Normalizer.normalize(
+      control.matcher(text).replaceAll(""),
+      java.text.Normalizer.Form.NFC)
 }

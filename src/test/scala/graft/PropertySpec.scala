@@ -29,6 +29,40 @@ class PropertySpec extends AnyFunSuite {
   private val textGen: Gen[String] =
     Gen.nonEmptyListOf(sentenceGen).map(_.mkString(" "))
 
+  test("Normalize.clean and UrlNorm.canonical are total and idempotent") {
+    // arbitrary unicode strings incl. controls, combining marks, and
+    // url-ish shapes: both cleaners must never throw and must be
+    // fixpoints after one application
+    val junk = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\u0007', '\u0301', '\u0308', '\r',
+        '\n', '\t', ' ', ':', '/', '?', '&', '#', '=', '.', '\u00e9')))
+      .map(_.mkString)
+    forAll(junk, n = 300) { s =>
+      val c = graft.text.Normalize.clean(s)
+      assert(graft.text.Normalize.clean(c) == c,
+        s"clean not idempotent on ${s.map(_.toInt)}")
+      val u = graft.canon.UrlNorm.canonical(s)
+      assert(graft.canon.UrlNorm.canonical(u) == u,
+        s"canonical not idempotent on $s")
+    }
+    // the exact corner the strip-FIRST order exists for: a control byte
+    // between base char and combining mark must not block composition
+    assert(graft.text.Normalize.clean("e\u0007\u0301") == "\u00e9")
+    val urlish = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+      host <- Gen.oneOf("A.B.com", "x.org", "H-1.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/P/q")
+      q <- Gen.oneOf("", "?b=2&a=1", "?utm_x=1", "?utm_x=1&z=9")
+      f <- Gen.oneOf("", "#frag")
+    } yield s"$scheme://$host$port$path$q$f"
+    forAll(urlish, n = 200) { s =>
+      val u = graft.canon.UrlNorm.canonical(s)
+      assert(graft.canon.UrlNorm.canonical(u) == u, s"not idempotent: $s -> $u")
+      assert(!u.contains("#") && !u.toLowerCase.contains("utm_"), s"$s -> $u")
+    }
+  }
+
   test("truncation: bounded length, prefix-or-ellipsis, reference branch rule") {
     import graft.text.Truncate.toSentenceBoundary
     val punctText = Gen.nonEmptyListOf(
