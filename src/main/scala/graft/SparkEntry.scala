@@ -1462,6 +1462,14 @@ object SparkEntry {
     * which expands to the LINEAR form seed·31⁴ + Σ sᵢ·31^(3-i) and is
     * therefore a plain SQL sum aggregation. Set-based throughout
     * (≈ |shingles|·64 rows), no per-row lambda chains.
+    *
+    * BMP contract (shared with the simhash64/fingerprint64 mirrors):
+    * the SQL side hashes shingle characters as CODE POINTS
+    * (`unicode(c)`) while the Scala FNV folds UTF-16 code units — they
+    * agree exactly on the Basic Multilingual Plane and would diverge on
+    * astral characters (surrogate pairs), which the documents fixtures
+    * do not contain. Same corpus contract every text oracle here
+    * states.
     */
   private val minhashBandsOracleSql: String = {
     def mix64(z0: BigInt): BigInt = {

@@ -33,8 +33,11 @@ object UrlNorm {
 
   def canonical(url: String): String = url match {
     case UrlRe(scheme0, host0, port0, path0, query0, _) =>
-      val scheme = scheme0.toLowerCase
-      val host = host0.toLowerCase
+      // Locale.ROOT (the engine-wide PyStr.lower convention): a Turkish
+      // default locale would dot-map 'I' and diverge from the oracle's
+      // lower()
+      val scheme = scheme0.toLowerCase(java.util.Locale.ROOT)
+      val host = host0.toLowerCase(java.util.Locale.ROOT)
       val port = Option(port0).getOrElse("") match {
         case ":80" if scheme == "http" => ""
         case ":443" if scheme == "https" => ""
@@ -43,7 +46,7 @@ object UrlNorm {
       val path = if (path0.isEmpty) "/" else path0
       val query = Option(query0).map(_.drop(1)).getOrElse("")
       val params = query.split("&", -1).filter(_.nonEmpty)
-        .filterNot(p => p.toLowerCase.startsWith("utm_"))
+        .filterNot(p => p.toLowerCase(java.util.Locale.ROOT).startsWith("utm_"))
         .sorted
       val q = if (params.isEmpty) "" else "?" + params.mkString("&")
       s"$scheme://$host$port$path$q"

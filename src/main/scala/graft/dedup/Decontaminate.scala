@@ -81,6 +81,23 @@ object Decontaminate {
     arr
   }
 
+  /** Distinct overlapping grams of one text against a sorted gram
+    * array; 0 (and no gram pass at all) when the array is empty. The
+    * ONE implementation every caller shares — the broadcast operator
+    * path and all three curation cascades ([[graft.pipeline.DocSignals]]).
+    */
+  def countHits(text: String, sortedGrams: Array[Long], n: Int): Int =
+    if (sortedGrams.isEmpty) 0
+    else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var hits = 0
+      gramHashes(text, n).foreach { g =>
+        if (java.util.Arrays.binarySearch(sortedGrams, g) >= 0 && seen.add(g))
+          hits += 1
+      }
+      hits
+    }
+
   /** Map-only contamination pass against a broadcast sorted gram array
     * — the small-benchmark fast path, also reusable inside a wider
     * single-scan cascade ([[graft.pipeline.Curate.curateDecontaminated]]).
@@ -94,15 +111,7 @@ object Decontaminate {
     val bc = spark.sparkContext.broadcast(benchGrams)
     docs.mapPartitions { it =>
       val grams = bc.value
-      it.map { case (id, text) =>
-        val seen = new java.util.HashSet[java.lang.Long]()
-        var hits = 0
-        gramHashes(text, n).foreach { g =>
-          if (java.util.Arrays.binarySearch(grams, g) >= 0 && seen.add(g))
-            hits += 1
-        }
-        (id, hits)
-      }
+      it.map { case (id, text) => (id, countHits(text, grams, n)) }
     }.toDF("doc_id", "n_hits")
       .withColumn("contaminated", col("n_hits") > 0)
   }
@@ -155,11 +164,26 @@ object Decontaminate {
       benchGramsHint: Long = 0L): DataFrame = {
     val spark = benchmark.sparkSession
     import spark.implicits._
-    val nGrams =
-      if (benchGramsHint > 0L) benchGramsHint
-      else benchmark.flatMap(gramHashes(_, n).toSeq.distinct).distinct().count()
-    if (nGrams <= broadcastMaxGrams)
-      overlapBroadcast(docs, benchmarkGramArray(benchmark, n), n)
-    else overlapJoin(docs, benchmark, n)
+    if (benchGramsHint > 0L) {
+      if (benchGramsHint <= broadcastMaxGrams)
+        overlapBroadcast(docs, benchmarkGramArray(benchmark, n), n)
+      else overlapJoin(docs, benchmark, n)
+    } else {
+      // one derivation of the distinct gram set for BOTH the sizing
+      // count and the broadcast collect (they used to run the
+      // flatMap+distinct twice back-to-back); cache released eagerly —
+      // the collect is an action, and the join path re-derives lazily
+      // from `benchmark` itself
+      val grams = benchmark.flatMap(gramHashes(_, n).toSeq.distinct)
+        .distinct().cache()
+      try {
+        val nGrams = grams.count()
+        if (nGrams <= broadcastMaxGrams) {
+          val arr = grams.collect()
+          java.util.Arrays.sort(arr)
+          overlapBroadcast(docs, arr, n)
+        } else overlapJoin(docs, benchmark, n)
+      } finally grams.unpersist(false)
+    }
   }
 }

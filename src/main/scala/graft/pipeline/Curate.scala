@@ -88,13 +88,9 @@ object Curate {
     val scored = docs.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, text) =>
-        val (lp, _) = graft.text.LangId.detect(text)
-        val q = graft.text.Quality.score(text)
-        val rep = graft.text.Repetition.signals(text)
-        md.reset()
-        val h = java.util.Base64.getEncoder.encodeToString(
-          md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        (id, lp, q.composite, rep.top_bigram_frac, rep.dup_line_frac, h)
+        val sg = DocSignals.score(md, text, Array.emptyLongArray, 13)
+        (id, sg.lang_pred, sg.composite, sg.top_bigram_frac,
+          sg.dup_line_frac, sg.h)
       }
     }.toDF("doc_id", "lang_pred", "composite", "top_bigram_frac",
       "dup_line_frac", "h")
@@ -144,19 +140,9 @@ object Curate {
       val md = java.security.MessageDigest.getInstance("MD5")
       val grams = bc.value
       it.map { case (id, text) =>
-        val (lp, _) = graft.text.LangId.detect(text)
-        val q = graft.text.Quality.score(text)
-        val rep = graft.text.Repetition.signals(text)
-        val seen = new java.util.HashSet[java.lang.Long]()
-        var hits = 0
-        graft.dedup.Decontaminate.gramHashes(text, n).foreach { g =>
-          if (java.util.Arrays.binarySearch(grams, g) >= 0 && seen.add(g))
-            hits += 1
-        }
-        md.reset()
-        val h = java.util.Base64.getEncoder.encodeToString(
-          md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        (id, lp, q.composite, rep.top_bigram_frac, rep.dup_line_frac, hits, h)
+        val sg = DocSignals.score(md, text, grams, n)
+        (id, sg.lang_pred, sg.composite, sg.top_bigram_frac,
+          sg.dup_line_frac, sg.n_hits, sg.h)
       }
     }.toDF("doc_id", "lang_pred", "composite", "top_bigram_frac",
       "dup_line_frac", "n_hits", "h")

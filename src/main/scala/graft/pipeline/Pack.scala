@@ -30,7 +30,8 @@ object Pack {
   def concatChunks(
       docs: Dataset[(Long, String)],
       chunkTokens: Int,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -38,9 +39,13 @@ object Pack {
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val counted = docs
+    // cached: (doc_id, n_tokens) is consumed by THREE actions (bounds,
+    // totals, output) — without the cache each re-runs the text scan +
+    // tokenization, two extra full-corpus passes at scale. Tiny rows
+    // (16 B/doc); lifetime via the CacheScope convention
+    val counted = scope.own(docs
       .map { case (id, text) => (id, PyStr.split(text).length.toLong) }
-      .toDF("doc_id", "n_tokens")
+      .toDF("doc_id", "n_tokens"))
 
     // deterministic contiguous range bucketing (no sampling): pid is a
     // pure function of doc_id and the corpus [min, max]

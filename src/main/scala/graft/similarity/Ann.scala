@@ -274,8 +274,11 @@ object Ann {
     // reduced independently and MERGED IN CHUNK ORDER, so the double
     // summation order — and therefore every centroid bit — is identical
     // regardless of thread scheduling (determinism is contractual)
-    val chunkCount = math.min(64,
-      math.max(1, Runtime.getRuntime.availableProcessors))
+    // FIXED chunk count, not availableProcessors: chunk boundaries set
+    // the double-summation order, so a machine-dependent count would
+    // make centroid bits (and IVF assignments, and the q80 hard recall
+    // gate) differ across hosts
+    val chunkCount = 64
     val chunkSize = math.max(1, (sample.length + chunkCount - 1) / chunkCount)
     val chunks = sample.grouped(chunkSize).toArray
     (0 until iters).foreach { _ =>

@@ -72,20 +72,15 @@ object StreamingCurate {
       val md = java.security.MessageDigest.getInstance("MD5")
       val grams = bc.value
       it.map { d =>
-        val (lp, _) = graft.text.LangId.detect(d.text)
-        val q = graft.text.Quality.score(d.text)
-        val rep = graft.text.Repetition.signals(d.text)
-        val clean = grams.isEmpty ||
-          !graft.dedup.Decontaminate.gramHashes(d.text, n).exists(g =>
-            java.util.Arrays.binarySearch(grams, g) >= 0)
-        md.reset()
-        val h = java.util.Base64.getEncoder.encodeToString(
-          md.digest(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        Scored(h, d.ts, d.doc_id, lp, q.composite,
-          rep.top_bigram_frac, rep.dup_line_frac, clean,
-          lp == lang && q.composite >= minComposite &&
-            rep.top_bigram_frac <= maxTopBigramFrac &&
-            rep.dup_line_frac <= maxDupLineFrac && clean)
+        // the SAME shared scoring as the batch cascades — the q84
+        // stream≡batch oracle holds by construction
+        val sg = graft.pipeline.DocSignals.score(md, d.text, grams, n)
+        val clean = sg.n_hits == 0
+        Scored(sg.h, d.ts, d.doc_id, sg.lang_pred, sg.composite,
+          sg.top_bigram_frac, sg.dup_line_frac, clean,
+          sg.lang_pred == lang && sg.composite >= minComposite &&
+            sg.top_bigram_frac <= maxTopBigramFrac &&
+            sg.dup_line_frac <= maxDupLineFrac && clean)
       }
     }
     scored
