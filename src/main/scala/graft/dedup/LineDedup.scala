@@ -20,36 +20,45 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
-  /** (doc_id, n_lines, n_dropped, clean) — one row per input doc. */
+  /** (doc_id, n_lines, n_dropped, clean) — one row per input doc.
+    *
+    * Plan shape: the exploded line stream is cached into `scope` (it
+    * feeds both the hot-key aggregation and the final per-doc rollup —
+    * without the cache each consumer re-runs the text split pass), the
+    * hot-key set joins back as a LEFT join with a marker column, and ONE
+    * doc_id aggregation derives n_lines / n_dropped / clean together
+    * (`collect_list` skips the nulls the marker condition plants for
+    * dropped lines) — the former left-anti + two separate aggregations +
+    * re-join needed two more shuffles and a third scan.
+    */
   def dropBoilerplate(
       docs: Dataset[(Long, String)],
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val lines = docs.flatMap { case (id, text) =>
+    val lines = scope.own(docs.flatMap { case (id, text) =>
       text.split("\n", -1).iterator.zipWithIndex.map { case (l, i) =>
         (id, i, l, l.trim)
-      }.toSeq
-    }.toDF("doc_id", "idx", "line", "key")
+      }
+    }.toDF("doc_id", "idx", "line", "key"))
     val hot = lines.filter(col("key") =!= "")
       .select("doc_id", "key").distinct()
       .groupBy("key").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("key")
-    val kept = lines.join(hot, Seq("key"), "left_anti")
-    val keptAgg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(
-        transform(
-          array_sort(collect_list(struct(col("idx"), col("line")))),
-          r => r.getField("line")),
-        "\n").as("clean"))
-    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-      .join(keptAgg, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("clean"), lit("")).as("clean"))
+      .select(col("key"), lit(true).as("is_hot"))
+    lines.join(hot, Seq("key"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("is_hot"), lit(1))).as("n_dropped"),
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("is_hot").isNull, struct(col("idx"), col("line"))))),
+              r => r.getField("line")),
+            "\n"),
+          lit("")).as("clean"))
+      .select("doc_id", "n_lines", "n_dropped", "clean")
   }
 }

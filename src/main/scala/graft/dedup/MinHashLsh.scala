@@ -148,18 +148,29 @@ object MinHashLsh {
     // false merges — real collisions at 10¹²-doc scale (≈27k), negligible
     // at 128 bits. (64-bit hashing stays fine for SHINGLES, where minhash
     // tolerates rare collisions statistically.)
-    val hashed = docs.mapPartitions { it =>
+    // The digest runs ONCE: the old (id, h, text) mapPartitions fed three
+    // consumers, each of which re-ran the full decode+digest text pass
+    // (opaque closure — nothing prunes). Now the narrow (id, h) pair —
+    // 25 B/doc, the same magnitude as the `groups` cache the operator
+    // already takes — is computed in one pass and cached into the scope;
+    // representative TEXTS come from a second plain scan of `docs`
+    // semi-joined against the rep ids (no digest on that pass). Built-in
+    // md5() was tried and REVERTED: Spark's Md5 expression constructs a
+    // MessageDigest per ROW (commons-codec), and the synchronized JCA
+    // provider lookup measured ~1 s SLOWER per query at 32 threads than
+    // the per-partition digest this closure keeps.
+    val idHash = scope.own(docs.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, text) =>
         (id, java.util.Base64.getEncoder.encodeToString(
-          md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))), text)
+          md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
       }
-    }.toDF("id", "h", "rep_text")
-    val reps = hashed.groupBy("h").agg(min("id").as("rep"))
+    }.toDF("id", "h"))
+    val reps = idHash.groupBy("h").agg(min("id").as("rep"))
     val groups = scope.own(
-      hashed.join(reps, "h").select(col("id"), col("rep")))
-    val repDocs = hashed.join(reps, hashed("id") === reps("rep"))
-      .select(col("id"), col("rep_text").as("text"))
+      idHash.join(reps, "h").select(col("id"), col("rep")))
+    val repDocs = docs.toDF("id", "text")
+      .join(reps.select(col("rep").as("id")), "id")
       .as[(Long, String)]
 
     // 2. LSH candidates over representatives, signatures computed ONCE

@@ -16,6 +16,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object BinaryFeatures {
 
+  // ImageIO's convenience entry points wrap every call in a DISK-backed
+  // image cache by default (a temp file created+deleted per read/write —
+  // measured dominant in the q59 decode→resize→decode path). The payloads
+  // here are in-memory byte arrays; cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaFeatures(
       doc_id: Long,
       kind: String, // "image" when really decoded, "stub" otherwise
@@ -45,12 +51,184 @@ object BinaryFeatures {
         else math.floor(sum.toDouble / len * 1000 + 0.5) / 1000)
   }
 
-  /** Real decode via `javax.imageio` (headless-safe): genuine
-    * width/height and mean of raster band 0 (= gray level for grayscale,
-    * red channel otherwise). Falls back to [[decodeStub]] when no reader
-    * claims the bytes.
+  // ------------------------------------------------------------------
+  // Fast path for 8-bit grayscale PNG (the dominant payload shape of the
+  // image operators): a direct encoder/decoder over the PNG spec avoids
+  // ImageIO's per-call reader/writer registry scan, stream wrapping and
+  // BufferedImage allocation — the per-task cost that dominated q59/q41
+  // (three codec passes per row). Lossless and spec-conformant: rasters
+  // round-trip exactly, so every decoded FEATURE (width/height/mean) is
+  // identical to the ImageIO path; anything that is not a non-interlaced
+  // gray-8 PNG falls back to ImageIO unchanged.
+  // ------------------------------------------------------------------
+
+  /** Decoded gray-8 raster: width, height, row-major samples. */
+  private final case class Gray(w: Int, h: Int, px: Array[Byte])
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  /** Minimal conformant gray-8 PNG: IHDR + one IDAT (filter 0 rows,
+    * fastest deflate level) + IEND.
+    */
+  private def encodeGrayPng(g: Gray): Array[Byte] = {
+    val raw = new Array[Byte](g.h * (g.w + 1)) // filter byte 0 per row
+    var y = 0
+    while (y < g.h) {
+      System.arraycopy(g.px, y * g.w, raw, y * (g.w + 1) + 1, g.w)
+      y += 1
+    }
+    val zOut = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    val ds = new java.util.zip.DeflaterOutputStream(zOut, defl, 8192)
+    ds.write(raw)
+    ds.finish()
+    defl.end()
+    val z = zOut.toByteArray
+    assemblePng(g, z, z.length)
+  }
+
+  private def assemblePng(g: Gray, z: Array[Byte], zLen: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zLen + 12)
+    out.put(PngSig)
+    // IHDR: w, h, bit depth 8, color type 0 (gray), deflate, filter 0,
+    // no interlace
+    out.putInt(13).put("IHDR".getBytes)
+    out.putInt(g.w).putInt(g.h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(crc32(out.array(), 12, 17))
+    out.putInt(zLen).put("IDAT".getBytes).put(z, 0, zLen)
+    out.putInt(crc32(out.array(), 8 + 25 + 4, 4 + zLen))
+    out.putInt(0).put("IEND".getBytes)
+    out.putInt(crc32(out.array(), out.position() - 4, 4))
+    out.array()
+  }
+
+  /** Gray-8 non-interlaced PNG decode with full filter-type support
+    * (None/Sub/Up/Average/Paeth), or None when the payload is any other
+    * shape — the caller then takes the ImageIO path.
+    */
+  private def decodeGrayPng(b: Array[Byte]): Option[Gray] = {
+    if (b.length < 45) return None
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
+    def be32(p: Int): Int =
+      ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    if (be32(8) != 13 || tag(b, 12) != "IHDR") return None
+    val w = be32(16)
+    val h = be32(20)
+    // bit depth 8, color 0, compression 0, filter 0, interlace 0
+    if (w <= 0 || h <= 0 || b(24) != 8 || b(25) != 0 ||
+      b(26) != 0 || b(27) != 0 || b(28) != 0) return None
+    if (w.toLong * h > (64 << 20)) return None // bail to ImageIO on huge
+    // concatenate IDAT payloads
+    val idat = new ByteArrayOutputStream()
+    var pos = 33
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = be32(pos)
+      val name = tag(b, pos + 4)
+      if (len < 0 || pos + 8 + len > b.length) return None
+      name match {
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunks don't affect gray-8 samples
+      }
+      pos += 12 + len
+    }
+    if (idat.size() == 0) return None
+    val raw = new Array[Byte](h * (w + 1))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // un-filter in place into px
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (w + 1)) & 0xff
+      val ro = y * (w + 1) + 1
+      val po = y * w
+      var x = 0
+      ft match {
+        case 0 => System.arraycopy(raw, ro, px, po, w)
+        case 1 => // Sub: left
+          while (x < w) {
+            val left = if (x == 0) 0 else px(po + x - 1) & 0xff
+            px(po + x) = ((raw(ro + x) + left) & 0xff).toByte
+            x += 1
+          }
+        case 2 => // Up
+          while (x < w) {
+            val up = if (y == 0) 0 else px(po - w + x) & 0xff
+            px(po + x) = ((raw(ro + x) + up) & 0xff).toByte
+            x += 1
+          }
+        case 3 => // Average
+          while (x < w) {
+            val left = if (x == 0) 0 else px(po + x - 1) & 0xff
+            val up = if (y == 0) 0 else px(po - w + x) & 0xff
+            px(po + x) = ((raw(ro + x) + ((left + up) >> 1)) & 0xff).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          while (x < w) {
+            val a = if (x == 0) 0 else px(po + x - 1) & 0xff
+            val c0 = if (y == 0) 0 else px(po - w + x) & 0xff
+            val c1 = if (x == 0 || y == 0) 0 else px(po - w + x - 1) & 0xff
+            val p = a + c0 - c1
+            val pa = math.abs(p - a); val pb = math.abs(p - c0); val pc = math.abs(p - c1)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) c0 else c1
+            px(po + x) = ((raw(ro + x) + pred) & 0xff).toByte
+            x += 1
+          }
+        case _ => return None
+      }
+      y += 1
+    }
+    Some(Gray(w, h, px))
+  }
+
+  /** Real decode: the gray-8 PNG fast path, then `javax.imageio`
+    * (headless-safe) for every other format — genuine width/height and
+    * mean of raster band 0 (= gray level for grayscale, red channel
+    * otherwise). Falls back to [[decodeStub]] when no reader claims the
+    * bytes.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    decodeGrayPng(bytes) match {
+      case Some(g) =>
+        var sum = 0L
+        var i = 0
+        while (i < g.px.length) { sum += g.px(i) & 0xff; i += 1 }
+        MediaFeatures(
+          doc_id = id,
+          kind = "image",
+          byte_len = bytes.length,
+          width = g.w,
+          height = g.h,
+          n_frames = 1,
+          mean_byte =
+            math.floor(sum.toDouble / (g.w.toLong * g.h) * 1000 + 0.5) / 1000)
+      case None => decodeImageIo(id, bytes)
+    }
+  }
+
+  private def decodeImageIo(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val img =
       try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Throwable => null }
@@ -81,18 +259,9 @@ object BinaryFeatures {
     * generator (pure JDK, headless).
     */
   def syntheticPng(width: Int, height: Int, gray: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { raster.setSample(x, y, 0, gray & 0xff); x += 1 }
-      y += 1
-    }
-    val out = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    val px = new Array[Byte](width * height)
+    java.util.Arrays.fill(px, (gray & 0xff).toByte)
+    encodeGrayPng(Gray(width, height, px))
   }
 
   /** Deterministic nearest-neighbor image resize: decode, sample the
@@ -101,30 +270,43 @@ object BinaryFeatures {
     * JVMs/render pipelines. Non-image payloads pass through unchanged.
     */
   def resizeNearest(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
-    val img =
-      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Throwable => null }
-    if (img == null) bytes
-    else {
-      val out = new java.awt.image.BufferedImage(
-        newW, newH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val src = img.getRaster
-      val dst = out.getRaster
-      var y = 0
-      while (y < newH) {
-        val sy = (y.toLong * img.getHeight / newH).toInt
-        var x = 0
-        while (x < newW) {
-          val sx = (x.toLong * img.getWidth / newW).toInt
-          dst.setSample(x, y, 0, src.getSample(sx, sy, 0))
-          x += 1
+    val src: Gray = decodeGrayPng(bytes) match {
+      case Some(g) => g
+      case None =>
+        val img =
+          try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: Throwable => null }
+        if (img == null) return bytes
+        val r = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // band 0 with the raster's native sample range clamped to a
+            // byte — identical to what TYPE_BYTE_GRAY setSample stored
+            px(y * w + x) = (r.getSample(x, y, 0) & 0xff).toByte
+            x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      val baos = new ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", baos)
-      baos.toByteArray
+        Gray(w, h, px)
     }
+    val dst = new Array[Byte](newW * newH)
+    var y = 0
+    while (y < newH) {
+      val sy = (y.toLong * src.h / newH).toInt
+      var x = 0
+      while (x < newW) {
+        val sx = (x.toLong * src.w / newW).toInt
+        dst(y * newW + x) = src.px(sy * src.w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    encodeGrayPng(Gray(newW, newH, dst))
   }
 
   // ------------------------------------------------------------------

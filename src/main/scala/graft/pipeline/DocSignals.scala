@@ -28,10 +28,17 @@ object DocSignals {
       text: String,
       benchGrams: Array[Long],
       n: Int): Score = {
-    val (lp, _) = graft.text.LangId.detect(text)
+    // lowered tokenization computed ONCE and shared by the three signals
+    // defined over it (language, repetition, contamination) — they used
+    // to re-lower + re-split the text independently, tripling the
+    // tokenization cost of the cascade's map pass. Quality keeps its own
+    // RAW-text split: lowering can change char counts (e.g. İ → i̇), so
+    // sharing there would change mean_token_len on exotic input.
+    val ltoks = graft.util.PyStr.split(graft.util.PyStr.lower(text))
+    val (lp, _) = graft.text.LangId.detectTokens(ltoks)
     val q = graft.text.Quality.score(text)
-    val rep = graft.text.Repetition.signals(text)
-    val hits = graft.dedup.Decontaminate.countHits(text, benchGrams, n)
+    val rep = graft.text.Repetition.signalsTokens(text, ltoks)
+    val hits = graft.dedup.Decontaminate.countHitsTokens(ltoks, benchGrams, n)
     md.reset()
     val h = java.util.Base64.getEncoder.encodeToString(
       md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))

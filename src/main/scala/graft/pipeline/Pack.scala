@@ -56,6 +56,13 @@ object Pack {
         lit(-1L).as("last_chunk")).limit(0)
     val lo = bounds.getLong(0)
     val span = bounds.getLong(1) - lo + 1
+    // fail fast on pathological id ranges: (doc_id − lo) · parts must not
+    // overflow Long (span itself wraps when ids span more than half the
+    // Long domain, e.g. 64-bit hash-derived doc_ids) — a non-monotone pid
+    // would silently corrupt the running-sum reseeding below
+    require(span > 0 && span <= Long.MaxValue / parts,
+      s"doc_id range [$lo, ${bounds.getLong(1)}] too wide for arithmetic " +
+        s"range bucketing with $parts partitions; re-key doc ids densely")
     val pidCol = ((col("doc_id") - lo) * parts / span).cast("int")
 
     val bucketed = counted

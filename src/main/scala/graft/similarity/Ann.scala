@@ -123,6 +123,10 @@ object Ann {
       cap: Int): DataFrame = {
     val spark = members.sparkSession
     import spark.implicits._
+    // NOTE (r6): caching this into a CacheScope was tried and REVERTED —
+    // it is referenced by both the member and the probe join, but the
+    // cache's materialization barrier measured uniformly SLOWER at sf0.1
+    // (q61 +0.4 s, q79 +0.2 s) than letting both subtrees evaluate it
     val sizes = members.toDF("key", "id", "vec")
       .groupBy("key").agg(count(lit(1)).as("n"))
     val m = shardAssignments(members, cap)
@@ -164,21 +168,22 @@ object Ann {
     * rank), and cross-partition duplicates fall to the global
     * dropDuplicates before ranking.
     */
+  private val simNidOrd = new java.util.Comparator[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // sim desc
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // nid asc
+    }
+  }
+
   private[graft] def topK(sims: DataFrame, k: Int): DataFrame = {
     val spark = sims.sparkSession
     import spark.implicits._
     val pruned = sims.as[(Long, Long, Double)].mapPartitions { it =>
-      val ord = new java.util.Comparator[(Double, Long)] {
-        def compare(a: (Double, Long), b: (Double, Long)): Int = {
-          val c = java.lang.Double.compare(b._1, a._1) // sim desc
-          if (c != 0) c else java.lang.Long.compare(a._2, b._2) // nid asc
-        }
-      }
       val acc = scala.collection.mutable.HashMap
         .empty[Long, java.util.TreeSet[(Double, Long)]]
       it.foreach { case (qid, nid, sim) =>
         val set = acc.getOrElseUpdate(qid,
-          new java.util.TreeSet[(Double, Long)](ord))
+          new java.util.TreeSet[(Double, Long)](simNidOrd))
         set.add((sim, nid))
         if (set.size > k) set.pollLast()
       }
@@ -186,10 +191,25 @@ object Ann {
         scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
           .asScala.map { case (sim, nid) => (qid, nid, sim) }
       }
-    }.toDF("qid", "nid", "sim")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    pruned.dropDuplicates("qid", "nid")
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
+    // ONE qid shuffle finishes the job: the per-group TreeSet merges the
+    // partition-pruned candidates, dedups and ranks in the same pass —
+    // the former dropDuplicates + rank-window pair cost a second
+    // exchange plus a sort per query. Dedup on (sim, nid) ≡ dedup on
+    // (qid, nid): sim is a pure function of the (qid, nid) vectors, so
+    // a pair re-surfacing via several buckets always carries the SAME
+    // sim. Group payload is bounded: ≤ upstream-partitions · k rows per
+    // qid survive the prune.
+    pruned.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val set = new java.util.TreeSet[(Double, Long)](simNidOrd)
+      it.foreach { case (_, nid, sim) =>
+        set.add((sim, nid))
+        if (set.size > k) set.pollLast()
+      }
+      var rk = 0
+      scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+        .asScala.map { case (sim, nid) => rk += 1; (qid, nid, sim, rk) }
+    }.toDF("qid", "nid", "sim", "rk")
   }
 
   // ------------------------------------------------------------------
@@ -363,14 +383,32 @@ object Ann {
       tau: Double): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val a = vectors.toDF("a", "va")
-    val b = broadcast(vectors.toDF("b", "vb"))
-    a.crossJoin(b).filter(col("a") < col("b"))
-      .as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (x, vx, y, vy) =>
-        (x, y, math.floor(dot(vx, vy) * 1e5 + 0.5) / 1e5)
-      }.toDF("a", "b", "sim")
-      .filter(col("sim") >= tau)
+    // one broadcast of the (bounded, by this baseline's contract) vector
+    // table, streamed against the corpus in a single map-only pass: the
+    // former broadcast-nested-loop join materialized |n|² rows through
+    // the tuple encoder (two Array[Float] deserializations per PAIR) just
+    // to feed the same dot kernel — per-task work, not the join, was the
+    // cost (guide §1.2 step 2). Same pairs, same rounding, same filter.
+    val all = vectors.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    vectors.mapPartitions { it =>
+      val arr = bc.value
+      it.flatMap { case (x, vx) =>
+        // index of the first id > x (ids are sorted; x itself may or may
+        // not be present — search for (x, +inf))
+        var lo = 0
+        var hi = arr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid)._1 <= x) lo = mid + 1 else hi = mid
+        }
+        Iterator.range(lo, arr.length).flatMap { i =>
+          val (y, vy) = arr(i)
+          val sim = math.floor(dot(vx, vy) * 1e5 + 0.5) / 1e5
+          if (sim >= tau) Iterator.single((x, y, sim)) else Iterator.empty
+        }
+      }
+    }.toDF("a", "b", "sim")
   }
 
   /** Embedding-cosine near-duplicate pairs at scale: LSH buckets generate

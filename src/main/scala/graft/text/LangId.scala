@@ -26,8 +26,15 @@ object LangId {
   /** (language, stopword-hit ratio). Deterministic first-max tie-break in
     * profile order (en, de, fr, es).
     */
-  def detect(text: String): (String, Double) = {
-    val toks = PyStr.split(PyStr.lower(text))
+  def detect(text: String): (String, Double) =
+    detectTokens(PyStr.split(PyStr.lower(text)))
+
+  /** [[detect]] over pre-lowered, pre-split tokens — the entry point for
+    * single-pass cascades that tokenize once and share
+    * ([[graft.pipeline.DocSignals]]). Must receive
+    * `PyStr.split(PyStr.lower(text))`.
+    */
+  def detectTokens(toks: Vector[String]): (String, Double) = {
     if (toks.isEmpty) return ("und", 0.0)
     var bestLang = "und"
     var bestScore = 0.0

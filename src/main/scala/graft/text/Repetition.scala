@@ -44,8 +44,15 @@ object Repetition {
     if (total == 0) 0.0 else counts.valuesIterator.max.toDouble / total
   }
 
-  def signals(text: String): Signals = {
-    val ws = PyStr.split(PyStr.lower(text))
+  def signals(text: String): Signals =
+    signalsTokens(text, PyStr.split(PyStr.lower(text)))
+
+  /** [[signals]] over pre-lowered, pre-split tokens (the shared-pass
+    * cascade entry — see [[graft.pipeline.DocSignals]]); `text` is still
+    * needed raw for the line signal. Must receive
+    * `PyStr.split(PyStr.lower(text))`.
+    */
+  def signalsTokens(text: String, ws: Vector[String]): Signals = {
     val bigrams =
       if (ws.length < 2) Iterator.empty
       else ws.sliding(2).map(p => p(0) + " " + p(1))

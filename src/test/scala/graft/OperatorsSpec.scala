@@ -1035,6 +1035,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("fast gray-PNG codec is ImageIO-interoperable (r6 per-task-work path)") {
+    import graft.multimodal.BinaryFeatures
+    System.setProperty("java.awt.headless", "true")
+    // 1. fast-encoded PNG must be a VALID PNG: decode it with ImageIO
+    //    directly (bypassing the fast decoder) — dims and every sample
+    //    must round-trip
+    val png = BinaryFeatures.syntheticPng(13, 9, 77)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO rejected the fast-encoded PNG")
+    assert(img.getWidth == 13 && img.getHeight == 9)
+    (0 until 9).foreach(y => (0 until 13).foreach(x =>
+      assert(img.getRaster.getSample(x, y, 0) == 77)))
+    // 2. ImageIO-encoded gradient PNG (exercises non-zero row filters)
+    //    through the fast decoder via decode(): same features as a
+    //    pure-ImageIO decode of the same bytes
+    val grad = new java.awt.image.BufferedImage(
+      64, 5, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 5).foreach(y => (0 until 64).foreach(x =>
+      grad.getRaster.setSample(x, y, 0, (x * 4 + y) % 256)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grad, "png", baos)
+    val f = BinaryFeatures.decode(1L, baos.toByteArray)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    var sum = 0L
+    (0 until 5).foreach(y => (0 until 64).foreach(x =>
+      sum += ref.getRaster.getSample(x, y, 0)))
+    val want = math.floor(sum.toDouble / (64 * 5) * 1000 + 0.5) / 1000
+    assert((f.kind, f.width, f.height, f.mean_byte) == ("image", 64, 5, want))
+    // 3. resize of the gradient through the fast path = manual
+    //    nearest-neighbor over the ImageIO raster
+    val rs = BinaryFeatures.decode(2L, BinaryFeatures.resizeNearest(baos.toByteArray, 16, 2))
+    var rsum = 0L
+    (0 until 2).foreach(y => (0 until 16).foreach(x =>
+      rsum += ref.getRaster.getSample(x * 64 / 16, y * 5 / 2, 0)))
+    assert(rs.width == 16 && rs.height == 2 &&
+      rs.mean_byte == math.floor(rsum.toDouble / 32 * 1000 + 0.5) / 1000)
+  }
+
   test("real image decode and nearest-neighbor resize round-trip") {
     import graft.multimodal.BinaryFeatures
     System.setProperty("java.awt.headless", "true")

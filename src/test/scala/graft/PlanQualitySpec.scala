@@ -325,12 +325,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans == 1, s"expected one scan (keeper is a window, not a self-join):\n$p")
   }
 
-  test("rank window shuffles once on the partition key with group-limit pushdown") {
+  test("rank-1 query runs as one hash aggregate: single exchange, partial agg, no sort") {
     val p = plan("q06_window_rank")
     assert(p.contains("hashpartitioning(l_suppkey"),
       s"expected hash exchange on l_suppkey:\n$p")
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, s"expected one exchange:\n$p")
-    // Spark 4 pushes rank<=1 below the shuffle as WindowGroupLimit
-    assert(p.contains("WindowGroupLimit"), s"missing group-limit pushdown:\n$p")
+    // r6: argmax-as-struct-max replaces the row_number window — the
+    // aggregate must do MAP-SIDE partial aggregation (struct max plans
+    // as SortAggregate; the shuffle then carries ~|suppkeys| rows per
+    // map partition) and the window machinery must be gone
+    assert("\\(\\d+\\) (Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size == 2,
+      s"expected partial+final aggregate:\n$p")
+    assert(!p.contains("Window"), s"expected no window operator:\n$p")
   }
 }
