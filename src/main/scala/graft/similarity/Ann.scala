@@ -428,8 +428,16 @@ object Ann {
       (0 until tables).iterator.map(t =>
         ((t.toLong << 48) ^ (signature(v, t, bits) & 0xffffffffffffL), id, v))
     }
-    boundedPairSims(keyed, keyed, bucketCap)
+    // filter BELOW the dedup exchange: Catalyst pushes qid < nid through
+    // dropDuplicates (grouping columns) but cannot push `sim >= tau` —
+    // sim surfaces as an aggregated column — so unfiltered sub-threshold
+    // candidates (most of the stream) would ride the shuffle just to be
+    // discarded. A pair re-surfacing via several buckets always carries
+    // the SAME sim (pure function of the two vectors), so filter-then-
+    // dedup ≡ dedup-then-filter.
+    boundedPairSimsRaw(keyed, keyed, bucketCap)
       .filter(col("qid") < col("nid") && col("sim") >= tau)
+      .dropDuplicates("qid", "nid")
       .select(col("qid").as("a"), col("nid").as("b"), col("sim"))
   }
 

@@ -506,6 +506,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing stays correct on a pathologically sparse id space") {
+    import spark.implicits._
+    // monotonically_increasing_id-style ids: partition index in the high
+    // bits, so the value range is astronomically sparse — the density
+    // guard warns, but spans must still be exact
+    val docs = (0 until 60).map { i =>
+      val id = ((i / 20).toLong << 33) | (i % 20).toLong
+      (id, Seq.fill(i % 7 + 1)("tok").mkString(" "))
+    }
+    val out = graft.pipeline.Pack
+      .concatChunks(docs.toDS(), chunkTokens = 16, partitions = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val expected = docs.sortBy(_._1).map { case (id, text) =>
+      val n = graft.util.PyStr.split(text).length.toLong
+      val start = cum; cum += n
+      (id, n, start, start / 16, (start + n - 1) / 16)
+    }
+    assert(out.toSeq == expected)
+  }
+
   test("mix sampling is deterministic, content-keyed, and rate-respecting") {
     import spark.implicits._
     import graft.pipeline.Mix
