@@ -22,7 +22,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)  # +0.0 folds -0.0 into 0.0
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, bytes):

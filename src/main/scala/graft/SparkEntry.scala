@@ -1242,10 +1242,15 @@ object SparkEntry {
       // staged at core-count files via doc_id RANGE partitioning (the old
       // coalesce(4) was a no-op down to the 1–2 scan partitions of the
       // source parquet, so the stream's per-doc SIGNATURE pass — its
-      // compute-heavy stage — ran on 1–2 tasks). Ranges keep each file a
-      // CONTIGUOUS id span ≤ the old ceil(n/4) bound, so the frozen
-      // oracle's safe-horizon backoff stays conservative; one-time cost,
-      // guarded by _SUCCESS
+      // compute-heavy stage — ran on 1–2 tasks). Each file is a
+      // contiguous id range; the operative batch-equivalence guarantee
+      // stays AvailableNow-with-unset-maxFilesPerTrigger = ONE micro-
+      // batch (no mid-run eviction), and the oracle's ceil(n/4) horizon
+      // backoff additionally absorbs per-file spans whenever ≥4 roughly
+      // even ranges are staged (RangePartitioner bounds are sampled, so
+      // spans are approximate — do not set maxFilesPerTrigger on this
+      // source without revisiting the q70 oracle's margin). One-time
+      // cost, guarded by _SUCCESS
       if (!new java.io.File(dir, "_SUCCESS").exists())
         s.read.parquet(t(d, "documents")).select("doc_id", "text").as[(Long, String)]
           .map { case (id, text) => graft.streaming.StreamingDedup.DocIn(

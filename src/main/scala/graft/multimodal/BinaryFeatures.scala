@@ -127,16 +127,20 @@ object BinaryFeatures {
     if (w <= 0 || h <= 0 || b(24) != 8 || b(25) != 0 ||
       b(26) != 0 || b(27) != 0 || b(28) != 0) return None
     if (w.toLong * h > (64 << 20)) return None // bail to ImageIO on huge
-    // concatenate IDAT payloads
+    // concatenate IDAT payloads. Long cursor + unsigned 32-bit lengths
+    // (the probeWav discipline): a corrupt chunk size on untrusted bytes
+    // must walk off the end and fall back to ImageIO, never wrap Int and
+    // crash the task
     val idat = new ByteArrayOutputStream()
-    var pos = 33
+    var pos = 33L
     var done = false
     while (!done && pos + 8 <= b.length) {
-      val len = be32(pos)
-      val name = tag(b, pos + 4)
-      if (len < 0 || pos + 8 + len > b.length) return None
+      val p = pos.toInt
+      val len = be32(p) & 0xffffffffL // unsigned
+      val name = tag(b, p + 4)
+      if (pos + 8 + len > b.length) return None
       name match {
-        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IDAT" => idat.write(b, p + 8, len.toInt)
         case "IEND" => done = true
         case _ => // ancillary chunks don't affect gray-8 samples
       }
@@ -150,7 +154,9 @@ object BinaryFeatures {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated
+        // truncated stream, or a (PNG-forbidden) FDICT preset-dictionary
+        // request — either way corrupt input: fall back, don't spin
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         got += n
       }
       if (got < raw.length) return None

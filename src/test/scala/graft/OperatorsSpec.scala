@@ -1095,6 +1095,34 @@ class OperatorsSpec extends AnyFunSuite {
       rs.mean_byte == math.floor(rsum.toDouble / 32 * 1000 + 0.5) / 1000)
   }
 
+  test("gray-PNG fast decoder degrades gracefully on corrupt bytes") {
+    import graft.multimodal.BinaryFeatures
+    System.setProperty("java.awt.headless", "true")
+    // 1. chunk length that wraps Int when added to the cursor: must fall
+    //    back (here to stub — ImageIO rejects it too), never throw
+    val evil = BinaryFeatures.syntheticPng(4, 4, 10).clone()
+    evil(33) = 0x7f.toByte; evil(34) = 0xff.toByte
+    evil(35) = 0xff.toByte; evil(36) = 0xf0.toByte
+    // the fast path must decline (no Int-wrap crash); the ImageIO
+    // fallback is free to be lenient and still decode the pixels
+    val f1 = BinaryFeatures.decode(1L, evil)
+    assert(f1.kind == "stub" || (f1.kind == "image" && f1.width == 4))
+    BinaryFeatures.resizeNearest(evil, 2, 2) // must not throw
+    // 2. zlib FDICT preset-dictionary header (forbidden in PNG): the
+    //    inflate loop must bail, not spin forever
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + 12 + 6 + 12)
+    bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    bb.putInt(13).put("IHDR".getBytes)
+      .putInt(2).putInt(2).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).putInt(0)
+    bb.putInt(6).put("IDAT".getBytes)
+      .put(0x78.toByte).put(0x20.toByte) // CMF/FLG with FDICT set, %31 valid
+      .putInt(1) // dict id
+      .putInt(0)
+    bb.putInt(0).put("IEND".getBytes).putInt(0)
+    assert(BinaryFeatures.decode(2L, bb.array()).kind == "stub")
+  }
+
   test("real image decode and nearest-neighbor resize round-trip") {
     import graft.multimodal.BinaryFeatures
     System.setProperty("java.awt.headless", "true")
