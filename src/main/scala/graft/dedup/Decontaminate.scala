@@ -45,13 +45,26 @@ object Decontaminate {
     z ^ (z >>> 31)
   }
 
-  @inline private def hash64(s: String): Long = {
+  /** FNV-1a (UTF-16 code units, splitmix64-finalized) of
+    * `toks.slice(from, until).mkString(" ")` WITHOUT materializing the
+    * joined string — byte-identical values (the q77 oracle contract),
+    * minus one ~n-token string allocation+copy per gram in the
+    * decontamination hot loop (guide §1.2 step 2).
+    */
+  @inline private def hash64Join(
+      toks: Array[String], from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
+    var t = from
+    while (t < until) {
+      if (t > from) { h ^= ' '; h *= 0x100000001b3L }
+      val s = toks(t)
+      var i = 0
+      while (i < s.length) {
+        h ^= s.charAt(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      t += 1
     }
     mix64(h)
   }
@@ -67,7 +80,11 @@ object Decontaminate {
     */
   def gramHashesTokens(toks: Vector[String], n: Int): Iterator[Long] =
     if (toks.length < n) Iterator.empty
-    else toks.sliding(n).map(w => hash64(w.mkString(" ")))
+    else {
+      val arr = toks.toArray
+      Iterator.range(0, arr.length - n + 1)
+        .map(i => hash64Join(arr, i, i + n))
+    }
 
   /** Distinct benchmark gram hashes, sorted for binary search. Driver
     * memory: 8 B per distinct gram (the broadcast path is only taken up

@@ -41,32 +41,52 @@ object MinHashLsh {
     z ^ (z >>> 31)
   }
 
-  /** FNV-1a over UTF-16 code units, finalized with splitmix64 — a true
-    * 64-bit shingle space.
+  /** FNV-1a (over UTF-16 code units, splitmix64-finalized — a true 64-bit
+    * shingle space) of `toks.slice(from, until).mkString(" ")` WITHOUT
+    * materializing the joined string (hashes the separator char directly
+    * between tokens) — byte-identical to hashing the join, minus one
+    * string allocation+copy per shingle in the hottest loop of the dedup
+    * family (guide §1.2 step 2: per-task work).
     */
-  @inline private def hash64(s: String): Long = {
+  @inline private def hash64Join(
+      toks: Array[String], from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
+    var t = from
+    while (t < until) {
+      if (t > from) { h ^= ' '; h *= 0x100000001b3L }
+      val s = toks(t)
+      var i = 0
+      while (i < s.length) {
+        h ^= s.charAt(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      t += 1
     }
     mix64(h)
   }
 
   def shingles(text: String, k: Int = 3): Iterator[Long] = {
-    val toks = PyStr.split(PyStr.lower(text))
-    if (toks.length < k) Iterator(hash64(toks.mkString(" ")))
-    else toks.sliding(k).map(w => hash64(w.mkString(" ")))
+    val toks = PyStr.split(PyStr.lower(text)).toArray
+    if (toks.length < k) Iterator.single(hash64Join(toks, 0, toks.length))
+    else Iterator.range(0, toks.length - k + 1)
+      .map(i => hash64Join(toks, i, i + k))
   }
+
+  /** mix64(i) for lane i — loop-invariant across shingles, precomputed
+    * once per JVM instead of NumHashes times per shingle (it was half of
+    * every signature's mix64 work; values identical by construction).
+    */
+  private val SeedMix: Array[Long] =
+    Array.tabulate(NumHashes)(i => mix64(i.toLong))
 
   def signature(text: String): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val seeds = SeedMix
     shingles(text).foreach { sh =>
       var i = 0
       while (i < NumHashes) {
-        val h = mix64(sh ^ mix64(i.toLong))
+        val h = mix64(sh ^ seeds(i))
         if (h < sig(i)) sig(i) = h
         i += 1
       }
