@@ -30,13 +30,20 @@ object BenchExtra {
     val plansDir = new File(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r06"))
     plansDir.mkdirs()
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // optional per-stage attribution (guide §7.1 without a live UI): write
+    // the event log and mine job/stage durations offline
+    sys.env.get("SPARK_GRAFT_EVENTLOG").foreach { dir =>
+      new File(dir).mkdirs()
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // same bench-mode contract as graft.Bench: fixture-writing queries
@@ -49,21 +56,28 @@ object BenchExtra {
 
       val names = SparkEntry.queries.keys.toVector.sorted
         .filter(n => wanted.isEmpty || wanted(n))
-      val results = names.map { name =>
-        spark.sparkContext.setJobDescription(name)
-        val t0 = System.nanoTime()
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val pw = new PrintWriter(new File(plansDir, s"${name}_$label.txt"))
-        try pw.println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-        finally pw.close()
-        spark.catalog.clearCache()
-        spark.sparkContext.setJobDescription(null)
-        name -> secs
+      // SPARK_GRAFT_REPS: interleaved best-of-N (Bench's discipline) for
+      // A/B work on a query subset without paying a full-suite run
+      val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+      val best = scala.collection.mutable.Map.empty[String, Double]
+      (1 to reps).foreach { _ =>
+        names.foreach { name =>
+          spark.sparkContext.setJobDescription(name)
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (secs < best.getOrElse(name, Double.MaxValue)) best(name) = secs
+          val pw = new PrintWriter(new File(plansDir, s"${name}_$label.txt"))
+          try pw.println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          finally pw.close()
+          spark.catalog.clearCache()
+          spark.sparkContext.setJobDescription(null)
+        }
       }
-      println(results.map { case (n, s) => f""""$n":$s%.3f""" }
+      println(best.toVector.sortBy(_._1)
+        .map { case (n, s) => f""""$n":$s%.3f""" }
         .mkString("{", ",", "}"))
     } finally {
       System.clearProperty("graft.bench")
