@@ -164,13 +164,18 @@ object SparkEntry {
     val sims = e.as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bc.value
-        it.flatMap { case (nid, nv) =>
+        val pairs = it.flatMap { case (nid, nv) =>
           qs.iterator.collect {
             case (qid, qv) if qid != nid =>
               (qid, nid,
                 math.floor(graft.similarity.Ann.dot(qv, nv) * 1e5 + 0.5) / 1e5)
           }
         }
+        // fuse Ann.topK's per-partition prune into the kernel pass:
+        // ≤|window|·k rows cross the object→row boundary instead of the
+        // full |window|·n sim stream (the prune is idempotent, so the
+        // downstream Ann.topK is unchanged)
+        graft.similarity.Ann.localTopK(pairs, k)
       }
       .toDF("qid", "nid", "sim")
     // Ann.topK prunes per partition before the global rank window — the

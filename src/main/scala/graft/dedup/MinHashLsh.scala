@@ -186,7 +186,7 @@ object MinHashLsh {
           md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
       }
     }.toDF("id", "h"))
-    val reps = idHash.groupBy("h").agg(min("id").as("rep"))
+    val reps = scope.own(idHash.groupBy("h").agg(min("id").as("rep")))
     val groups = scope.own(
       idHash.join(reps, "h").select(col("id"), col("rep")))
     val repDocs = docs.toDF("id", "text")

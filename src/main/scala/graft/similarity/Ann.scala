@@ -175,23 +175,33 @@ object Ann {
     }
   }
 
+  /** The per-partition bounded prune [[topK]] opens with, exposed so
+    * sim-generating kernels can FUSE it into their own mapPartitions
+    * (e.g. the q79/q80 exact-truth pass): pruning before the object→row
+    * boundary keeps ≤|qids|·k rows per partition off the encoder instead
+    * of the full |window|·n sim stream. Idempotent — re-pruning pruned
+    * output is a no-op — so fused callers still feed [[topK]] unchanged.
+    */
+  private[graft] def localTopK(
+      it: Iterator[(Long, Long, Double)], k: Int): Iterator[(Long, Long, Double)] = {
+    val acc = scala.collection.mutable.HashMap
+      .empty[Long, java.util.TreeSet[(Double, Long)]]
+    it.foreach { case (qid, nid, sim) =>
+      val set = acc.getOrElseUpdate(qid,
+        new java.util.TreeSet[(Double, Long)](simNidOrd))
+      set.add((sim, nid))
+      if (set.size > k) set.pollLast()
+    }
+    acc.iterator.flatMap { case (qid, set) =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+        .asScala.map { case (sim, nid) => (qid, nid, sim) }
+    }
+  }
+
   private[graft] def topK(sims: DataFrame, k: Int): DataFrame = {
     val spark = sims.sparkSession
     import spark.implicits._
-    val pruned = sims.as[(Long, Long, Double)].mapPartitions { it =>
-      val acc = scala.collection.mutable.HashMap
-        .empty[Long, java.util.TreeSet[(Double, Long)]]
-      it.foreach { case (qid, nid, sim) =>
-        val set = acc.getOrElseUpdate(qid,
-          new java.util.TreeSet[(Double, Long)](simNidOrd))
-        set.add((sim, nid))
-        if (set.size > k) set.pollLast()
-      }
-      acc.iterator.flatMap { case (qid, set) =>
-        scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
-          .asScala.map { case (sim, nid) => (qid, nid, sim) }
-      }
-    }
+    val pruned = sims.as[(Long, Long, Double)].mapPartitions(localTopK(_, k))
     // ONE qid shuffle finishes the job: the per-group TreeSet merges the
     // partition-pruned candidates, dedups and ranks in the same pass —
     // the former dropDuplicates + rank-window pair cost a second
