@@ -159,7 +159,7 @@ object MinHashLsh {
       threshold: Double,
       sigMargin: Double,
       bandBucketCap: Int,
-      scope: graft.util.CacheScope): (DataFrame, DataFrame) = {
+      scope: graft.util.CacheScope): (DataFrame, DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -186,7 +186,11 @@ object MinHashLsh {
           md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
       }
     }.toDF("id", "h"))
-    val reps = scope.own(idHash.groupBy("h").agg(min("id").as("rep")))
+    // one aggregation yields the representative AND the clone-group size
+    // (n rides along so the pairs path's blocked-vs-direct decision can
+    // read max(n) off this cache instead of re-aggregating `groups`)
+    val reps = scope.own(idHash.groupBy("h")
+      .agg(min("id").as("rep"), count(lit(1)).as("n")))
     val groups = scope.own(
       idHash.join(reps, "h").select(col("id"), col("rep")))
     val repDocs = docs.toDF("id", "text")
@@ -196,18 +200,41 @@ object MinHashLsh {
     // 2. LSH candidates over representatives, signatures computed ONCE
     val sigs = scope.own(
       repDocs.map { case (id, text) => (id, signature(text)) }.toDF("id", "sig"))
-    val b = sigs.as[(Long, Array[Long])]
-      .flatMap { case (id, sig) => bandRowsFromSignature(id, sig) }
-      .toDF("id", "band", "band_hash")
-    val bucketSizes = b.groupBy("band", "band_hash").agg(count(lit(1)).as("bn"))
-    val bCapped = b.join(bucketSizes, Seq("band", "band_hash"))
-      .filter(col("bn") <= bandBucketCap)
-      .select("id", "band", "band_hash")
-    val candidates = bCapped.as("x").join(bCapped.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+    // Candidate pairs as ONE shuffle on (band, band_hash): each bucket
+    // group emits its in-bucket (a < b) pairs directly, with the cap
+    // enforced in-group (an over-cap bucket drains without emitting —
+    // same drop rule as before). This replaces the former bucket-size
+    // aggregation + size join + bCapped SELF-join (which shipped every
+    // band row twice and evaluated the banding lineage per side) —
+    // strictly fewer exchanges and fewer shuffled bytes at any scale;
+    // per-task bounds unchanged (≤ cap ids held, ≤ cap² pairs emitted
+    // per bucket, exactly the old join task's bound).
+    val candidates = sigs.as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        bandRowsFromSignature(id, sig)
+          .map(br => (br.doc_id, br.band, br.band_hash))
+      }
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroups { (_, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](8)
+        var over = false
+        it.foreach { r =>
+          if (!over) {
+            buf += r._1
+            if (buf.length > bandBucketCap) over = true
+          }
+        }
+        if (over) Iterator.empty
+        else {
+          val ids = buf.toArray
+          java.util.Arrays.sort(ids)
+          for {
+            i <- ids.indices.iterator
+            j <- (i + 1 until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
+      }
+      .toDF("a", "b")
       .distinct()
 
     // 3. signature prescreen: joins ship 512 B signatures, never texts
@@ -232,7 +259,7 @@ object MinHashLsh {
       .filter(_._3 >= threshold)
       .toDF("ra", "rb", "j")
 
-    (groups, repPairs)
+    (groups, repPairs, reps)
   }
 
   /** Clone-internal pairs (jaccard 1.0) via BLOCKED enumeration: members
@@ -301,11 +328,13 @@ object MinHashLsh {
       : Dataset[(Long, Long, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (groups, repPairs) =
+    val (groups, repPairs, reps) =
       cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap, scope)
 
-    val maxGroup = groups.groupBy("rep").agg(count(lit(1)).as("n"))
-      .agg(max("n")).as[Option[Long]].head().getOrElse(0L)
+    // max clone-group size straight off the cached reps table (count
+    // per h ≡ count per rep; h↔rep is 1:1) — the former groups
+    // re-aggregation cost an extra exchange per invocation
+    val maxGroup = reps.agg(max("n")).as[Option[Long]].head().getOrElse(0L)
 
     val clonePairs =
       if (maxGroup <= cloneBlockSize) clonePairsDirect(groups)
@@ -408,7 +437,7 @@ object MinHashLsh {
       : Dataset[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (groups, repPairs) =
+    val (groups, repPairs, _) =
       cloneGroupsAndRepPairs(docs, threshold, sigMargin, bandBucketCap, scope)
 
     // CC over the rep-pair graph (tiny next to the corpus: only verified
