@@ -781,8 +781,16 @@ object SparkEntry {
       import s.implicits._
       val docs = s.read.parquet(t(d, "documents"))
         .select("doc_id", "text").as[(Long, String)]
-      val keptIds = graft.pipeline.Curate.curateFull(docs)
-        .filter(col("kept")).select("doc_id")
+      // the `kept` join lineage feeds BOTH the mix path and the final
+      // pack input, so without a cache the curation scoring pass (the
+      // cascade's whole per-doc CPU cost) evaluates twice per action.
+      // Cache the ID tables only — doc_id rows, never corpus text (the
+      // r5 no-text-caching rule); the scope stays open because the
+      // result is lazy — the harness's between-query clearCache() owns
+      // cache lifetime (the operator-default-scope convention).
+      val scope = new graft.util.CacheScope
+      val keptIds = scope.own(graft.pipeline.Curate.curateFull(docs)
+        .filter(col("kept")).select("doc_id"))
       val kept = docs.toDF("doc_id", "text").join(keptIds, "doc_id")
       val strat = kept
         .select(col("doc_id"),
@@ -791,9 +799,9 @@ object SparkEntry {
             .otherwise("code").as("stratum"),
           col("text"))
         .as[(Long, String, String)]
-      val sampledIds = graft.pipeline.Mix.sampleByStratum(strat,
+      val sampledIds = scope.own(graft.pipeline.Mix.sampleByStratum(strat,
           Map("web" -> 0.5, "books" -> 0.9, "code" -> 0.1))
-        .filter(_.kept).toDF().select("doc_id")
+        .filter(_.kept).toDF().select("doc_id"))
       val sampled = kept.join(sampledIds, "doc_id")
         .select("doc_id", "text").as[(Long, String)]
       graft.pipeline.Pack.concatChunks(sampled, chunkTokens = 512)
