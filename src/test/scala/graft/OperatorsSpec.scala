@@ -744,6 +744,23 @@ class OperatorsSpec extends AnyFunSuite {
     val auto = SimHash.hammingPairs(df, maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(auto == expected)
+    // blockSize sweep with planted exact clones: blockSize=1 makes every
+    // clone group span multiple blocks, exercising the blocked
+    // enumeration/expansion machinery end-to-end on the same corpus
+    val docs1 = docs0 ++ Seq((9000L, docs0.head._2), (9001L, docs0.head._2))
+    val expected1 = (for {
+      a <- docs1; b <- docs1
+      if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2)
+      if d <= 3
+    } yield (a._1, b._1, d)).toSet
+    val df1 = docs1.toDF("doc_id", "h")
+    val default1 = SimHash.hammingPairs(df1, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked1 = SimHash.hammingPairs(df1, maxDist = 3, blockSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(default1 == expected1, "default blockSize disagrees with brute force")
+    assert(blocked1 == expected1, "blockSize=1 disagrees with brute force")
   }
 
   test("full curation cascade: repetition stage slots between quality and dedup") {
