@@ -150,7 +150,11 @@ object StreamingCurate {
       }
       .trigger(Trigger.AvailableNow())
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
-    val q = writer.start()
-    q.awaitTermination()
+    // timeout branch emits nothing -> the no-data finalization batch is a
+    // pure state-store pass; skip it for this drain (see StreamRun)
+    StreamRun.withoutNoDataBatches(spark) {
+      val q = writer.start()
+      q.awaitTermination()
+    }
   }
 }

@@ -159,8 +159,12 @@ object StreamingDedup {
       }
       .trigger(Trigger.AvailableNow())
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
-    val q = writer.start()
-    q.awaitTermination()
+    // timeout branch emits nothing -> the no-data finalization batch is a
+    // pure state-store pass; skip it for this drain (see StreamRun)
+    StreamRun.withoutNoDataBatches(spark) {
+      val q = writer.start()
+      q.awaitTermination()
+    }
   }
 
   /** Drain a docs parquet directory through the dedup stream once
@@ -188,8 +192,10 @@ object StreamingDedup {
       }
       .trigger(Trigger.AvailableNow())
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
-    val q = writer.start()
-    q.awaitTermination()
+    StreamRun.withoutNoDataBatches(spark) {
+      val q = writer.start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     val rows = sink.iterator().asScala.toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

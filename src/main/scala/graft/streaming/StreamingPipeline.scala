@@ -107,7 +107,7 @@ object StreamingPipeline {
       name: String = "graft_stream_to_store",
       watermark: String = "1 hour"): Unit = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = latestVersionPerUrl(readPages(spark, dir), watermark)
+    val writer = latestVersionPerUrl(readPages(spark, dir), watermark)
       .writeStream
       .queryName(name)
       .option("checkpointLocation", s"$storeDir/_checkpoint")
@@ -116,8 +116,11 @@ object StreamingPipeline {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // timeout branch emits nothing -> the no-data finalization batch is a
+    // pure state-store pass; skip it for this drain (see StreamRun)
+    StreamRun.withoutNoDataBatches(spark) {
+      writer.start().awaitTermination()
+    }
   }
 
   /** Run the stream synchronously over whatever is in `dir` (test/backfill
@@ -125,12 +128,15 @@ object StreamingPipeline {
     */
   def runOnce(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = triples(readPages(spark, dir))
+    val writer = triples(readPages(spark, dir))
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // dropDuplicatesWithinWatermark emits on arrival: the no-data batch
+    // is a pure state-eviction pass here too (see StreamRun)
+    StreamRun.withoutNoDataBatches(spark) {
+      writer.start().awaitTermination()
+    }
     spark.table(name)
   }
 }
